@@ -1,0 +1,189 @@
+"""Fixed-shape padded tracking-graph containers.
+
+The reference keeps graphs as dynamic Python lists / variable-length PyG
+``Data`` objects (``utils/graph_data.py:152-256``). On TPU everything under
+``jit`` must have static shapes, so a window graph is padded to a
+``(max_nodes, max_edges)`` budget and batched by stacking along a leading
+window dimension — which turns every per-edge MLP and every segment reduction
+into one big MXU-friendly batched matmul.
+
+Padding conventions:
+  * padded node slots have ``node_mask == False`` and all-zero features;
+  * padded edge slots have ``edge_mask == False`` and ``src == dst == 0``;
+    segment reductions multiply messages by ``edge_mask`` so padded edges
+    contribute exactly zero to node 0;
+  * ``node_time`` of padded slots is -1, ``node_class`` is 0 (classes are
+    1-indexed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Feature-dimension contract (SURVEY.md §2.2, reference
+# construct...parallel.py:119-124,400-436 + graph_utils.py:7-30):
+POSE_DIM = 19  # center(3) + wlh(3) + yaw(1) + velocity(3) + onehot(7) + score(1) + rel_time(1)
+EDGE_DIM = 4  # [l2 xy dist, |yaw diff|, log volume ratio, |dt|]
+IMG_SHAPE = (32, 32, 3)  # NHWC crop (reference stores CHW; converted on load)
+LIDAR_SHAPE = (128, 3)  # points x channels (reference: 3 x 128)
+RADAR_SHAPE = (64, 4)  # points x channels (reference: 4 x 64)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedGraph:
+    """One (optionally leading-batched) padded window graph.
+
+    All arrays share an optional leading batch dimension ``[B, ...]`` when
+    produced by :func:`batch_graphs`.
+    """
+
+    pose: jax.Array  # [N, 19] f32
+    img: jax.Array  # [N, 32, 32, 3] f32
+    lidar: jax.Array  # [N, 128, 3] f32
+    radar: jax.Array  # [N, 64, 4] f32
+    node_time: jax.Array  # [N] i32 (-1 for padding)
+    node_class: jax.Array  # [N] i32, 1-indexed (0 for padding)
+    node_mask: jax.Array  # [N] bool
+    edge_src: jax.Array  # [E] i32 — past node j (edge_index[0] in reference)
+    edge_dst: jax.Array  # [E] i32 — current node i (edge_index[1])
+    edge_attr: jax.Array  # [E, 4] f32
+    edge_mask: jax.Array  # [E] bool
+    edge_label: jax.Array  # [E] f32 (GT active/inactive)
+    edge_weight: jax.Array  # [E] f32 (class-balanced loss weights)
+
+    @property
+    def max_nodes(self) -> int:
+        return self.pose.shape[-2]
+
+    @property
+    def max_edges(self) -> int:
+        return self.edge_src.shape[-1]
+
+    @property
+    def num_nodes(self) -> jax.Array:
+        return self.node_mask.sum(axis=-1)
+
+    @property
+    def num_edges(self) -> jax.Array:
+        return self.edge_mask.sum(axis=-1)
+
+
+def _pad_to(arr: np.ndarray, size: int, axis: int = 0, value=0) -> np.ndarray:
+    pad = size - arr.shape[axis]
+    if pad < 0:
+        raise ValueError(
+            f"Array of size {arr.shape[axis]} exceeds padding budget {size}"
+        )
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, mode="constant", constant_values=value)
+
+
+def pad_graph(
+    pose: np.ndarray,
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_attr: np.ndarray,
+    node_time: np.ndarray,
+    node_class: np.ndarray,
+    max_nodes: int,
+    max_edges: int,
+    img: Optional[np.ndarray] = None,
+    lidar: Optional[np.ndarray] = None,
+    radar: Optional[np.ndarray] = None,
+    edge_label: Optional[np.ndarray] = None,
+    edge_weight: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> PaddedGraph:
+    """Pad raw per-window numpy arrays into a :class:`PaddedGraph`."""
+    n = pose.shape[0]
+    e = edge_src.shape[0]
+    if img is None:
+        img = np.zeros((n, *IMG_SHAPE), dtype)
+    if lidar is None:
+        lidar = np.zeros((n, *LIDAR_SHAPE), dtype)
+    if radar is None:
+        radar = np.zeros((n, *RADAR_SHAPE), dtype)
+    if edge_label is None:
+        edge_label = np.zeros((e,), dtype)
+    if edge_weight is None:
+        edge_weight = np.ones((e,), dtype)
+
+    node_mask = np.zeros((max_nodes,), bool)
+    node_mask[:n] = True
+    edge_mask = np.zeros((max_edges,), bool)
+    edge_mask[:e] = True
+
+    return PaddedGraph(
+        pose=jnp.asarray(_pad_to(pose.astype(dtype), max_nodes)),
+        img=jnp.asarray(_pad_to(img.astype(dtype), max_nodes)),
+        lidar=jnp.asarray(_pad_to(lidar.astype(dtype), max_nodes)),
+        radar=jnp.asarray(_pad_to(radar.astype(dtype), max_nodes)),
+        node_time=jnp.asarray(
+            _pad_to(node_time.astype(np.int32), max_nodes, value=-1)
+        ),
+        node_class=jnp.asarray(_pad_to(node_class.astype(np.int32), max_nodes)),
+        node_mask=jnp.asarray(node_mask),
+        edge_src=jnp.asarray(_pad_to(edge_src.astype(np.int32), max_edges)),
+        edge_dst=jnp.asarray(_pad_to(edge_dst.astype(np.int32), max_edges)),
+        edge_attr=jnp.asarray(_pad_to(edge_attr.astype(dtype), max_edges)),
+        edge_mask=jnp.asarray(edge_mask),
+        edge_label=jnp.asarray(_pad_to(edge_label.astype(dtype), max_edges)),
+        edge_weight=jnp.asarray(_pad_to(edge_weight.astype(dtype), max_edges)),
+    )
+
+
+def batch_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
+    """Stack same-budget graphs along a new leading window dimension."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+
+
+def empty_graph(
+    max_nodes: int, max_edges: int, dtype=np.float32
+) -> PaddedGraph:
+    """An all-padding graph (used to fill incomplete window batches)."""
+    return pad_graph(
+        pose=np.zeros((0, POSE_DIM), dtype),
+        edge_src=np.zeros((0,), np.int32),
+        edge_dst=np.zeros((0,), np.int32),
+        edge_attr=np.zeros((0, EDGE_DIM), dtype),
+        node_time=np.zeros((0,), np.int32),
+        node_class=np.zeros((0,), np.int32),
+        max_nodes=max_nodes,
+        max_edges=max_edges,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Size bucketing
+# ---------------------------------------------------------------------------
+
+# Default (max_nodes, max_edges) buckets; windows are assigned to the smallest
+# bucket that fits, limiting XLA recompilation to a handful of shapes.
+DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (64, 512),
+    (128, 1024),
+    (256, 2048),
+    (512, 4096),
+    (1024, 8192),
+)
+
+
+def pick_bucket(
+    num_nodes: int,
+    num_edges: int,
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+) -> Tuple[int, int]:
+    for n, e in buckets:
+        if num_nodes <= n and num_edges <= e:
+            return (n, e)
+    raise ValueError(
+        f"Window with {num_nodes} nodes / {num_edges} edges exceeds the "
+        f"largest bucket {buckets[-1]}"
+    )
