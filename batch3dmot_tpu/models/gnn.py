@@ -121,6 +121,9 @@ class MultimodalGNN(nn.Module):
     knn_conv_mode: str = "noop"  # 'noop' (reference behavior) | 'active'
     knn_conv_k: int = 20
     num_classes: int = 7
+    # Frozen encoders (reference sets requires_grad=False on all three,
+    # clr_att_gnn.py:26-33); stop_gradient also skips their backward pass.
+    freeze_encoders: bool = True
 
     def setup(self) -> None:
         self.resnet = ResNetAE()
@@ -162,10 +165,14 @@ class MultimodalGNN(nn.Module):
         # presence masks afterwards; running-stats BatchNorm, no dropout.
         x_img = self.resnet.encode(g.img)
         pn = self.pointnet.feat_256(g.lidar)
+        rn = self.radarnet.feat_256(g.radar)
+        if self.freeze_encoders:
+            x_img = jax.lax.stop_gradient(x_img)
+            pn = jax.lax.stop_gradient(pn)
+            rn = jax.lax.stop_gradient(rn)
         x_lidar = jnp.where(
             lidar_present[:, None], self.fc_lidar_encoder(pn), 0.0
         )
-        rn = self.radarnet.feat_256(g.radar)
         x_radar = jnp.where(
             radar_present[:, None], self.fc_radar_encoder(rn), 0.0
         )

@@ -1,0 +1,96 @@
+"""Host-side batching of window graphs into fixed-shape device batches.
+
+Replaces the reference's PyG DataLoader + per-item ``torch.load`` of 9 files
+(``utils/graph_data.py:152-256``, ``train.py:85-97``) with: windows padded
+into a small set of (max_nodes, max_edges) buckets, shuffled, and stacked
+``batch_size`` at a time along a leading window dimension. One XLA program
+per bucket; incomplete batches are filled with all-padding graphs so shapes
+never change.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from batch3dmot_tpu.graph import (
+    DEFAULT_BUCKETS,
+    PaddedGraph,
+    batch_graphs,
+    empty_graph,
+    pad_graph,
+    pick_bucket,
+)
+from batch3dmot_tpu.data.types import WindowGraphArrays
+
+
+def to_padded(
+    g: WindowGraphArrays, max_nodes: int, max_edges: int
+) -> PaddedGraph:
+    return pad_graph(
+        pose=g.pose,
+        edge_src=g.edge_src,
+        edge_dst=g.edge_dst,
+        edge_attr=g.edge_attr,
+        node_time=g.node_time,
+        node_class=g.node_class,
+        max_nodes=max_nodes,
+        max_edges=max_edges,
+        img=g.img,
+        lidar=g.lidar,
+        radar=g.radar,
+        edge_label=g.edge_label,
+        edge_weight=g.edge_weight,
+    )
+
+
+class GraphBatcher:
+    """Bucket + shuffle + stack window graphs into PaddedGraph batches."""
+
+    def __init__(
+        self,
+        windows: Sequence[WindowGraphArrays],
+        batch_size: int,
+        buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+        drop_empty: bool = True,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        self._rng = np.random.default_rng(seed)
+        self.by_bucket: Dict[Tuple[int, int], List[WindowGraphArrays]] = {}
+        for w in windows:
+            if drop_empty and (w.num_nodes == 0 or w.num_edges == 0):
+                # reference skips empty windows at inference (predict.py:179)
+                continue
+            b = pick_bucket(w.num_nodes, w.num_edges, self.buckets)
+            self.by_bucket.setdefault(b, []).append(w)
+
+    def __len__(self) -> int:
+        return sum(
+            (len(ws) + self.batch_size - 1) // self.batch_size
+            for ws in self.by_bucket.values()
+        )
+
+    def epoch(self, shuffle: bool = True) -> Iterator[PaddedGraph]:
+        """Yield stacked [B, ...] PaddedGraph batches for one epoch."""
+        order: List[Tuple[Tuple[int, int], int]] = []
+        per_bucket: Dict[Tuple[int, int], List[int]] = {}
+        for b, ws in self.by_bucket.items():
+            idxs = np.arange(len(ws))
+            if shuffle:
+                self._rng.shuffle(idxs)
+            per_bucket[b] = list(idxs)
+        batches: List[Tuple[Tuple[int, int], List[int]]] = []
+        for b, idxs in per_bucket.items():
+            for i in range(0, len(idxs), self.batch_size):
+                batches.append((b, idxs[i : i + self.batch_size]))
+        if shuffle:
+            self._rng.shuffle(batches)
+        for b, idxs in batches:
+            (mn, me) = b
+            graphs = [to_padded(self.by_bucket[b][i], mn, me) for i in idxs]
+            while len(graphs) < self.batch_size:
+                graphs.append(empty_graph(mn, me))
+            yield batch_graphs(graphs)

@@ -1,0 +1,77 @@
+"""Losses and masked metrics in pure jnp.
+
+Replaces torchmetrics ``average_precision`` (reference ``train.py:143-155``)
+and ``torch.nn.BCELoss(weight=...)`` (``train.py:136-141``) with fixed-shape,
+mask-aware implementations that run under ``jit`` on padded edge arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-7
+
+
+def masked_bce(
+    scores: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array,
+    weights: Optional[jax.Array] = None,
+    from_logits: bool = False,
+) -> jax.Array:
+    """Mean BCE over real (masked-in) edges, optionally per-edge weighted.
+
+    Matches torch ``BCELoss(weight=w)`` semantics: mean of w * bce over the
+    real edges. ``from_logits=True`` gives the numerically-stable
+    BCE-with-logits pairing for the sigmoid-less PoseGNN head.
+    """
+    if from_logits:
+        # log(1+exp(-|x|)) formulation
+        z = scores
+        per_edge = jnp.maximum(z, 0) - z * labels + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    else:
+        s = jnp.clip(scores, _EPS, 1.0 - _EPS)
+        per_edge = -(labels * jnp.log(s) + (1.0 - labels) * jnp.log(1.0 - s))
+    if weights is not None:
+        per_edge = per_edge * weights
+    m = mask.astype(per_edge.dtype)
+    return jnp.sum(per_edge * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def average_precision(
+    scores: jax.Array,
+    labels: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Binary average precision = mean of precision@i over positive hits in
+    descending-score order (sklearn/torchmetrics definition). Fixed-shape:
+    masked entries sort last and contribute nothing. Returns NaN when there
+    are no positives (callers nanmean across batches, as the reference does
+    with np.nanmean, train.py:210)."""
+    if mask is None:
+        mask = jnp.ones_like(scores, dtype=bool)
+    neg_inf = jnp.finfo(scores.dtype).min
+    s = jnp.where(mask, scores, neg_inf)
+    order = jnp.argsort(-s)
+    y = jnp.where(mask, labels, 0.0)[order]
+    valid = mask[order].astype(scores.dtype)
+    tp = jnp.cumsum(y)
+    seen = jnp.cumsum(valid)
+    precision = tp / jnp.maximum(seen, 1.0)
+    num_pos = jnp.sum(y)
+    ap = jnp.sum(precision * y) / num_pos  # NaN if num_pos == 0 (intended)
+    return ap
+
+
+def masked_accuracy(
+    scores: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array,
+    threshold: float = 0.5,
+) -> jax.Array:
+    pred = (scores > threshold).astype(labels.dtype)
+    correct = (pred == labels).astype(jnp.float32) * mask
+    return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1.0)

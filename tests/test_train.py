@@ -1,0 +1,122 @@
+"""Training-loop tests: metrics goldens, loss decrease on synthetic data."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.config import GNNConfig, GraphConstructionConfig
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graphs import build_scene_graphs
+from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
+from batch3dmot_tpu.train import GNNTrainer, average_precision, masked_bce
+from batch3dmot_tpu.train.data import GraphBatcher, to_padded
+from batch3dmot_tpu.train.trainer import average_precision_np
+
+BUCKETS = ((64, 256),)
+
+
+def test_masked_bce_golden():
+    s = jnp.array([0.9, 0.1, 0.5, 0.7])
+    y = jnp.array([1.0, 0.0, 1.0, 0.0])
+    m = jnp.array([True, True, True, False])
+    got = masked_bce(s, y, m)
+    want = -(np.log(0.9) + np.log(0.9) + np.log(0.5)) / 3
+    assert float(got) == pytest.approx(want, rel=1e-5)
+
+
+def test_masked_bce_logits_matches_probs():
+    logits = jnp.array([2.0, -1.0, 0.3])
+    y = jnp.array([1.0, 0.0, 1.0])
+    m = jnp.ones(3, bool)
+    a = masked_bce(jnp.asarray(1 / (1 + np.exp(-np.asarray(logits)))), y, m)
+    b = masked_bce(logits, y, m, from_logits=True)
+    assert float(a) == pytest.approx(float(b), rel=1e-5)
+
+
+def test_masked_bce_weights():
+    s = jnp.array([0.5, 0.5])
+    y = jnp.array([1.0, 1.0])
+    m = jnp.ones(2, bool)
+    w = jnp.array([2.0, 0.0])
+    assert float(masked_bce(s, y, m, w)) == pytest.approx(-np.log(0.5), rel=1e-5)
+
+
+def test_average_precision_perfect_and_random():
+    y = jnp.array([1.0, 1.0, 0.0, 0.0])
+    s_perfect = jnp.array([0.9, 0.8, 0.2, 0.1])
+    assert float(average_precision(s_perfect, y)) == pytest.approx(1.0)
+    s_worst = jnp.array([0.1, 0.2, 0.8, 0.9])
+    # positives at ranks 3,4 -> AP = (1/3 + 2/4)/2
+    assert float(average_precision(s_worst, y)) == pytest.approx((1 / 3 + 0.5) / 2)
+
+
+def test_average_precision_masked_matches_np(rng):
+    s = rng.random(50).astype(np.float32)
+    y = (rng.random(50) > 0.7).astype(np.float32)
+    m = rng.random(50) > 0.3
+    got = float(average_precision(jnp.array(s), jnp.array(y), jnp.array(m)))
+    want = average_precision_np(s[m], y[m])
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def _windows(n_scenes=3, with_mods=False):
+    cfg = GraphConstructionConfig(top_knn_nodes=4)
+    out = []
+    for seed in range(n_scenes):
+        scene = make_synthetic_scene(
+            seed=seed, num_frames=8, num_tracks=5, with_modalities=with_mods
+        )
+        out.extend(build_scene_graphs(scene, 3, cfg))
+    return out
+
+
+def test_pose_gnn_training_learns():
+    windows = _windows()
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS)
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2, loss="cb")
+    trainer = GNNTrainer(PoseGNN(depth=2), example, cfg)
+    hist = trainer.fit(batcher, epochs=8, verbose=False)
+    first, last = hist[0], hist[-1]
+    assert last["train/loss"] < first["train/loss"]
+    assert last["train/avgprec"] > 0.7
+
+
+def test_trainer_eval_and_checkpoint(tmp_path):
+    windows = _windows(2)
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS)
+    example = to_padded(windows[0], *BUCKETS[0])
+    trainer = GNNTrainer(PoseGNN(depth=2), example, GNNConfig(batch_size=2))
+    hist = trainer.fit(
+        batcher, val_batcher=batcher, epochs=1, log_dir=str(tmp_path), verbose=False
+    )
+    assert "val/avgprec" in hist[0]
+    ckpts = list(tmp_path.glob("gnn_epoch0_*ValAP*.msgpack"))
+    assert len(ckpts) == 1
+
+
+def test_multimodal_one_train_step():
+    windows = _windows(1, with_mods=True)
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS)
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(batch_size=2)
+    trainer = GNNTrainer(MultimodalGNN(depth=2), example, cfg)
+    batch = next(batcher.epoch())
+    state0_step = int(trainer.state.step)
+    trainer.state, loss, scores = trainer._train_step(trainer.state, batch)
+    assert int(trainer.state.step) == state0_step + 1
+    assert np.isfinite(float(loss))
+
+
+def test_frozen_encoders_do_not_update():
+    windows = _windows(1, with_mods=True)
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS)
+    example = to_padded(windows[0], *BUCKETS[0])
+    trainer = GNNTrainer(MultimodalGNN(depth=2), example, GNNConfig(batch_size=2, lr=1e-2))
+    before = np.asarray(
+        trainer.state.params["resnet"]["stem"]["kernel"]
+    ).copy()
+    batch = next(batcher.epoch())
+    trainer.state, _, _ = trainer._train_step(trainer.state, batch)
+    after = np.asarray(trainer.state.params["resnet"]["stem"]["kernel"])
+    np.testing.assert_array_equal(before, after)
