@@ -1,0 +1,162 @@
+"""Inference tests: averaging, thresholding, greedy rounding, clustering,
+interpolation, and an end-to-end train->predict->tracks run on synthetic data."""
+
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.config import Config, GNNConfig, GraphConstructionConfig
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graphs import build_scene_graphs
+from batch3dmot_tpu.infer.predict import (
+    average_scene_edges,
+    greedy_round,
+    make_scorer,
+    predict_scene,
+    score_windows,
+    threshold_edges,
+)
+from batch3dmot_tpu.infer.tracks import (
+    assemble_submission,
+    all_scene_sample_tokens,
+    hierarchical_clusters,
+    interpolate_track_linear,
+    scene_results,
+)
+from batch3dmot_tpu.models import PoseGNN
+from batch3dmot_tpu.train import GNNTrainer
+from batch3dmot_tpu.train.data import GraphBatcher, to_padded
+
+BUCKETS = ((64, 256),)
+
+
+def test_greedy_round_keeps_best_per_node():
+    edges = {(0, 2): 0.9, (1, 2): 0.5, (0, 3): 0.3, (2, 4): 0.8, (1, 4): 0.1}
+    kept = dict(greedy_round(edges))
+    assert (0, 2) in kept  # best outgoing of 0 AND best incoming of 2
+    # (1,2) survives as node 1's best outgoing (per-node greedy, like the
+    # reference's aggregate of every node's best in/out edge)
+    assert (1, 2) in kept
+    # (0,3) kept as best incoming of 3 even though it isn't 0's best outgoing
+    assert (0, 3) in kept
+    assert (2, 4) in kept  # best incoming of 4 and best outgoing of 2
+    # (1,4): not 1's best outgoing (0.5>0.1) and not 4's best incoming -> dropped
+    assert (1, 4) not in kept
+
+
+def test_hier_clusters_chain():
+    edges = [((0, 1), 0.9), ((1, 2), 0.8), ((2, 3), 0.7)]
+    cats = {i: "car" for i in range(4)}
+    tracks = hierarchical_clusters(edges, cats)
+    assert tracks == [[0, 1, 2, 3]]
+
+
+def test_hier_clusters_join_threshold():
+    # two chains joined by a low-score edge: join refused for car (thr 0.02)
+    edges = [((0, 1), 0.9), ((2, 3), 0.8), ((1, 2), 0.01)]
+    cats = {i: "car" for i in range(4)}
+    tracks = hierarchical_clusters(edges, cats)
+    assert sorted(map(tuple, tracks)) == [(0, 1), (2, 3)]
+    # with a clearing score the chains join
+    edges = [((0, 1), 0.9), ((2, 3), 0.8), ((1, 2), 0.5)]
+    tracks = hierarchical_clusters(edges, cats)
+    assert tracks == [[0, 1, 2, 3]]
+
+
+def test_hier_clusters_conflict_resolved_by_score():
+    # two predecessors for node 2: higher-score edge wins; the other node
+    # cannot append because 2 is no longer a head
+    edges = [((0, 2), 0.9), ((1, 2), 0.8)]
+    cats = {i: "pedestrian" for i in range(3)}
+    tracks = hierarchical_clusters(edges, cats)
+    assert [0, 2] in tracks
+    assert [1, 2] not in tracks
+
+
+def test_average_scene_edges_across_windows():
+    scene = make_synthetic_scene(seed=0, num_frames=6, num_tracks=4)
+    windows = list(build_scene_graphs(scene, 3, GraphConstructionConfig(top_knn_nodes=3)))
+    # fake scores: all 1.0 in first window, 0.0 in others
+    scores = [np.full(w.num_edges, 1.0 if i == 0 else 0.0, np.float32)
+              for i, w in enumerate(windows)]
+    avg = average_scene_edges(windows, scores)
+    vals = set(np.round(list(avg.values()), 6).tolist())
+    # duplicated edges across overlapping windows must average strictly
+    # between 0 and 1; window-unique edges are exactly 0 or 1
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    dup = [v for v in avg.values() if 0.0 < v < 1.0]
+    assert dup, "overlapping windows should share edges"
+
+
+def test_interpolation_fills_gaps():
+    scene = make_synthetic_scene(seed=3, num_frames=8, num_tracks=3, miss_rate=0.0)
+    # track 0 detections, drop the middle one artificially
+    dets = np.nonzero(scene.token_id == 0)[0]
+    assert len(dets) >= 4
+    track = [int(dets[0]), int(dets[3])]  # gap of 2 frames
+    interp = interpolate_track_linear(track, scene)
+    f0, f3 = scene.frame_idx[dets[0]], scene.frame_idx[dets[3]]
+    assert len(interp) == f3 - f0 - 1
+    times = [b["time"] for b in interp]
+    assert times == list(range(f0 + 1, f3))
+    # interpolated centers lie between endpoints
+    c0, c3 = scene.center_g[dets[0]], scene.center_g[dets[3]]
+    for b in interp:
+        t = np.array(b["translation"])
+        assert np.linalg.norm(t - c0) <= np.linalg.norm(c3 - c0) + 1e-6
+
+
+@pytest.fixture(scope="module")
+def e2e():
+    """Train a small PoseGNN on synthetic scenes, then predict a held-out
+    scene end-to-end."""
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    train_windows = []
+    for seed in range(3):
+        scene = make_synthetic_scene(seed=seed, num_frames=8, num_tracks=5)
+        train_windows.extend(build_scene_graphs(scene, 3, gc))
+    batcher = GraphBatcher(train_windows, batch_size=2, buckets=BUCKETS)
+    example = to_padded(train_windows[0], *BUCKETS[0])
+    trainer = GNNTrainer(
+        PoseGNN(depth=2), example, GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    )
+    trainer.fit(batcher, epochs=8, verbose=False)
+
+    test_scene = make_synthetic_scene(seed=99, num_frames=8, num_tracks=4,
+                                      fp_per_frame=0.3, miss_rate=0.0)
+    test_windows = list(build_scene_graphs(test_scene, 3, gc))
+    scorer = make_scorer(PoseGNN(depth=2), trainer.variables)
+    return test_scene, test_windows, scorer
+
+
+def test_e2e_scores_separate_pos_neg(e2e):
+    scene, windows, scorer = e2e
+    scores = score_windows(scorer, windows, windows_per_batch=4, buckets=BUCKETS)
+    pos, neg = [], []
+    for w, s in zip(windows, scores):
+        pos.extend(s[w.edge_label == 1].tolist())
+        neg.extend(s[w.edge_label == 0].tolist())
+    assert np.mean(pos) > np.mean(neg) + 0.2
+
+
+def test_e2e_tracks_recover_gt(e2e):
+    scene, windows, scorer = e2e
+    pred_edges, avg = predict_scene(scorer, scene, windows, windows_per_batch=4)
+    cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
+    tracks = hierarchical_clusters(pred_edges, cats)
+    # majority-token purity of the recovered tracks
+    purities = []
+    for track in tracks:
+        toks = scene.token_id[track]
+        toks = toks[toks >= 0]
+        if len(toks) >= 2:
+            _, counts = np.unique(toks, return_counts=True)
+            purities.append(counts.max() / len(toks))
+    assert purities and np.mean(purities) > 0.8
+
+    results = scene_results(tracks, scene)
+    submission = assemble_submission([results], all_scene_sample_tokens(scene))
+    assert submission["meta"]["use_lidar"]
+    # every frame token appears in results (possibly empty)
+    assert len(submission["results"]) >= scene.num_frames
+    total_boxes = sum(len(v) for v in submission["results"].values())
+    assert total_boxes > 0
