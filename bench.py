@@ -1,0 +1,251 @@
+"""Benchmark: multimodal GNN window-scoring throughput (edges/sec).
+
+This is the reference's headline inference workload: scoring every candidate
+edge of every sliding-window tracking graph with the camera+lidar+radar GNN
+(reference ``predict.py:172-197`` runs it one window at a time on CPU with
+``map_location='cpu'`` — the >10x BASELINE.md target).
+
+  * TPU path: windows padded to one bucket, stacked, scored by a single
+    jitted vmapped program.
+  * Baseline: an equivalent torch CPU model (same architecture/widths, eval
+    mode) scoring the same windows one at a time, as the reference does.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_windows(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
+    from batch3dmot_tpu.config import GraphConstructionConfig
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.graphs import build_scene_graphs
+
+    cfg = GraphConstructionConfig(top_knn_nodes=knn)
+    windows = []
+    for seed in range(num_scenes):
+        scene = make_synthetic_scene(
+            seed=seed,
+            num_frames=frames,
+            num_tracks=tracks,
+            with_modalities=True,
+            modality_dropout=0.2,
+        )
+        windows.extend(build_scene_graphs(scene, window_len, cfg))
+    return [w for w in windows if w.num_edges > 0]
+
+
+def bench_tpu(windows, batch_size=8, iters=5):
+    import jax
+
+    from batch3dmot_tpu.graph import batch_graphs
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.train.data import to_padded
+
+    max_nodes = 128
+    max_edges = 1024
+    model = MultimodalGNN()
+    padded = [to_padded(w, max_nodes, max_edges) for w in windows]
+    variables = model.init(jax.random.key(0), padded[0])
+
+    @jax.jit
+    def run(batch):
+        scores, _ = jax.vmap(lambda g: model.apply(variables, g))(batch)
+        return scores
+
+    batches = [
+        batch_graphs(padded[i : i + batch_size])
+        for i in range(0, len(padded) - batch_size + 1, batch_size)
+    ]
+    real_edges = sum(w.num_edges for w in windows[: len(batches) * batch_size])
+
+    # warmup / compile
+    run(batches[0]).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [run(b) for b in batches]
+        outs[-1].block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return real_edges / dt, dt
+
+
+def bench_torch_cpu(windows, max_seconds=60.0):
+    """Reference-style CPU scoring: one window at a time, torch eval mode."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(1)
+
+    def mlp(*dims):
+        layers = []
+        for i in range(len(dims) - 1):
+            layers.append(nn.Linear(dims[i], dims[i + 1]))
+            if i < len(dims) - 2:
+                layers.append(nn.ReLU())
+        return nn.Sequential(*layers)
+
+    class TorchMMGNN(nn.Module):
+        """Architecture twin of batch3dmot_tpu.models.MultimodalGNN for an
+        apples-to-apples CPU throughput baseline."""
+
+        def __init__(self, depth=6):
+            super().__init__()
+            self.depth = depth
+            # ResNet-AE encoder twin
+            self.stem = nn.Conv2d(3, 12, 4, 2, 1)
+            def res(cin, cout, k, s, dk, ds):
+                return nn.ModuleDict(
+                    dict(
+                        c1=nn.Conv2d(cin, cout, k, s, 1),
+                        b1=nn.BatchNorm2d(cout),
+                        c2=nn.Conv2d(cout, cout, k, s, 1),
+                        b2=nn.BatchNorm2d(cout),
+                        dn=nn.Sequential(nn.Conv2d(cin, cout, dk, ds), nn.BatchNorm2d(cout)),
+                    )
+                )
+            self.blocks = nn.ModuleList(
+                [res(12, 24, 4, 2, 5, 3), res(24, 48, 3, 1, 1, 1), res(48, 96, 3, 2, 3, 2)]
+            )
+            # PointNet twin (stn + point mlps + head)
+            self.stn_mlp = nn.Sequential(
+                nn.Conv1d(3, 64, 1), nn.BatchNorm1d(64), nn.ReLU(),
+                nn.Conv1d(64, 128, 1), nn.BatchNorm1d(128), nn.ReLU(),
+                nn.Conv1d(128, 1024, 1), nn.BatchNorm1d(1024), nn.ReLU(),
+            )
+            self.stn_fc = nn.Sequential(
+                nn.Linear(1024, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Linear(512, 256), nn.BatchNorm1d(256), nn.ReLU(), nn.Linear(256, 9),
+            )
+            self.pn_mlp = nn.Sequential(
+                nn.Conv1d(3, 64, 1), nn.BatchNorm1d(64), nn.ReLU(),
+                nn.Conv1d(64, 128, 1), nn.BatchNorm1d(128), nn.ReLU(),
+                nn.Conv1d(128, 1024, 1), nn.BatchNorm1d(1024),
+            )
+            self.pn_head = nn.Sequential(
+                nn.Linear(1024, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Linear(512, 256), nn.BatchNorm1d(256), nn.ReLU(),
+            )
+            # RadarNet twin
+            self.rn_mlp = nn.Sequential(
+                nn.Conv1d(4, 64, 1), nn.BatchNorm1d(64), nn.ReLU(),
+                nn.Conv1d(64, 128, 1), nn.BatchNorm1d(128), nn.ReLU(),
+                nn.Conv1d(128, 1024, 1), nn.BatchNorm1d(1024),
+            )
+            self.rn_head = nn.Sequential(
+                nn.Linear(1024, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Linear(512, 256), nn.BatchNorm1d(256), nn.ReLU(),
+            )
+            self.fc_lidar = mlp(256, 192, 128)
+            self.fc_radar = mlp(256, 192, 128, 64)
+            self.edge_enc = mlp(4, 16, 32, 64)
+            self.node_enc = mlp(19, 48, 96)
+            self.att = nn.ModuleDict(
+                dict(img=mlp(96, 96, 96), lid=mlp(128, 128, 128), rad=mlp(64, 64, 64))
+            )
+            self.att_edge_enc = mlp(640, 512, 384, 256, 128, 64)
+            self.edge_update = mlp(320, 256, 128, 64)
+            self.past = mlp(256, 192, 128)
+            self.future = mlp(256, 192, 128)
+            self.combine = mlp(256, 192, 128, 96)
+            self.classifier = nn.Sequential(mlp(64, 32, 16, 8, 1), nn.Sigmoid())
+
+        def _res(self, blk, x):
+            import torch.nn.functional as F
+            skip = blk["dn"](x)
+            h = F.relu(blk["b1"](blk["c1"](x)))
+            h = blk["b2"](blk["c2"](h))
+            return F.relu(h + skip)
+
+        def forward(self, pose, img, lidar, radar, src, dst, edge_attr):
+            import torch
+            import torch.nn.functional as F
+
+            h = self.stem(img)
+            for blk in self.blocks:
+                h = self._res(blk, h)
+            x_img = h.flatten(1)
+
+            t = self.stn_mlp(lidar).max(-1).values
+            trans = self.stn_fc(t).view(-1, 3, 3) + torch.eye(3)
+            pts = torch.bmm(trans, lidar)
+            pf = self.pn_mlp(pts).max(-1).values
+            x_lidar = self.fc_lidar(self.pn_head(pf))
+
+            rf = self.rn_mlp(radar).max(-1).values
+            x_radar = self.fc_radar(self.rn_head(rf))
+
+            e = self.edge_enc(edge_attr)
+            si = torch.cat(
+                [self.att["rad"](x_radar[dst]), self.att["lid"](x_lidar[dst]), self.att["img"](x_img[dst])], 1
+            )
+            sj = torch.cat(
+                [self.att["rad"](x_radar[src]), self.att["lid"](x_lidar[src]), self.att["img"](x_img[src])], 1
+            )
+            att_e = self.att_edge_enc(torch.cat([si, sj, e], 1))
+
+            x = self.node_enc(pose)
+            x0 = x
+            n = x.shape[0]
+            for _ in range(self.depth):
+                ue = self.edge_update(torch.cat([x[dst], x[src], e, att_e], 1))
+                fm = self.future(torch.cat([x[dst], ue, x0[dst]], 1))
+                pm = self.past(torch.cat([x[src], ue, x0[src]], 1))
+                agg_p = torch.zeros(n, pm.shape[1]).index_add_(0, dst, pm)
+                agg_f = torch.zeros(n, fm.shape[1]).index_add_(0, src, fm)
+                x = self.combine(torch.cat([agg_p, agg_f], 1))
+                e = ue
+            return self.classifier(e)
+
+    model = TorchMMGNN().eval()
+
+    tensors = []
+    for w in windows:
+        tensors.append(
+            (
+                torch.from_numpy(w.pose),
+                torch.from_numpy(np.ascontiguousarray(w.img.transpose(0, 3, 1, 2))),
+                torch.from_numpy(np.ascontiguousarray(w.lidar.transpose(0, 2, 1))),
+                torch.from_numpy(np.ascontiguousarray(w.radar.transpose(0, 2, 1))),
+                torch.from_numpy(w.edge_src.astype(np.int64)),
+                torch.from_numpy(w.edge_dst.astype(np.int64)),
+                torch.from_numpy(w.edge_attr),
+            )
+        )
+
+    with torch.no_grad():
+        model(*tensors[0])  # warmup
+        done_edges = 0
+        t0 = time.perf_counter()
+        for w, t in zip(windows, tensors):
+            model(*t)
+            done_edges += w.num_edges
+            if time.perf_counter() - t0 > max_seconds:
+                break
+        dt = time.perf_counter() - t0
+    return done_edges / dt
+
+
+def main():
+    windows = build_windows()
+    tpu_eps, _ = bench_tpu(windows)
+    cpu_eps = bench_torch_cpu(windows)
+    print(
+        json.dumps(
+            {
+                "metric": "mm_gnn_edge_scoring_throughput",
+                "value": round(tpu_eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(tpu_eps / cpu_eps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
