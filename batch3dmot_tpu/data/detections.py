@@ -1,0 +1,269 @@
+"""Detection loading and detection<->GT matching.
+
+Rebuilds the reference's *missing* ``batch_3dmot.preprocessing
+.match_detections`` module from its call-site contract
+(``construct_detection_graph_disjoint_parallel.py:35,54,65-83``; SURVEY.md
+§0): load a nuScenes detection-format results JSON (Megvii / CenterPoint),
+and per sample match detections to GT annotations so each matched detection
+carries a persistent instance identity used for GT edge labels. Unmatched
+detections carry no token (label-negative, ``construct...parallel.py:587``).
+
+Matching method is configurable (``GraphConstructionConfig.match_method``):
+  * ``center_dist`` — greedy by detection score, nearest same-class GT
+    within 2 m BEV center distance (the nuScenes eval matching rule);
+  * ``iou`` — greedy by score on best BEV IoU > threshold (the machinery
+    the reference ships as ``geo_utils.iou2d``; its CenterPoint graph dir is
+    tagged "iou").
+
+All boxes here are **global frame**; ego-frame conversion happens in
+:func:`scene_from_frames` using per-frame ego poses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from batch3dmot_tpu import geometry as geo
+from batch3dmot_tpu.config import (
+    GraphConstructionConfig,
+    TRACKING_CLASSES,
+)
+from batch3dmot_tpu.data.types import SceneDetections
+
+
+@dataclasses.dataclass
+class FrameBoxes:
+    """Columnar boxes of one frame (detections or GT), global frame."""
+
+    center: np.ndarray  # [K, 3]
+    wlh: np.ndarray  # [K, 3]
+    quat: np.ndarray  # [K, 4] wxyz
+    velocity: np.ndarray  # [K, 3]
+    class_id: np.ndarray  # [K] 1-indexed tracking class
+    score: np.ndarray  # [K] (GT: ones)
+    instance: List[Optional[str]]  # [K] instance tokens (dets: None)
+
+    @classmethod
+    def empty(cls) -> "FrameBoxes":
+        return cls(
+            np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 4)),
+            np.zeros((0, 3)), np.zeros((0,), np.int32), np.zeros((0,)), [],
+        )
+
+    def __len__(self) -> int:
+        return len(self.class_id)
+
+
+def load_detection_results(
+    path: str,
+) -> Dict[str, FrameBoxes]:
+    """Parse a nuScenes detection submission JSON
+    ({"results": {sample_token: [box...]}}) into per-sample FrameBoxes,
+    keeping only the 7 tracking classes (detection_name matches the tracking
+    name for those)."""
+    with open(path, "r") as f:
+        raw = json.load(f)
+    results = raw["results"] if "results" in raw else raw
+    out: Dict[str, FrameBoxes] = {}
+    for sample_token, boxes in results.items():
+        rows = [b for b in boxes if b.get("detection_name") in TRACKING_CLASSES]
+        if not rows:
+            out[sample_token] = FrameBoxes.empty()
+            continue
+        vel = np.array(
+            [list(b.get("velocity", (0.0, 0.0)))[:2] + [0.0] for b in rows]
+        )
+        out[sample_token] = FrameBoxes(
+            center=np.array([b["translation"] for b in rows], float),
+            wlh=np.array([b["size"] for b in rows], float),
+            quat=np.array([b["rotation"] for b in rows], float),
+            velocity=vel,
+            class_id=np.array(
+                [TRACKING_CLASSES[b["detection_name"]] for b in rows], np.int32
+            ),
+            score=np.array([b.get("detection_score", 0.0) for b in rows], float),
+            instance=[None] * len(rows),
+        )
+    return out
+
+
+def match_frame(
+    dets: FrameBoxes,
+    gt: FrameBoxes,
+    method: str = "center_dist",
+    dist_thresh: float = 2.0,
+    iou_thresh: float = 0.0,
+) -> List[Optional[str]]:
+    """Greedy per-class matching of detections to GT; returns per-detection
+    GT instance token (None = unmatched). Greedy order is detection score
+    descending; each GT matches at most one detection."""
+    n = len(dets)
+    assigned: List[Optional[str]] = [None] * n
+    if n == 0 or len(gt) == 0:
+        return assigned
+    used = np.zeros(len(gt), bool)
+    order = np.argsort(-dets.score, kind="stable")
+    for di in order:
+        cls = dets.class_id[di]
+        cand = np.nonzero((gt.class_id == cls) & ~used)[0]
+        if len(cand) == 0:
+            continue
+        if method == "center_dist":
+            d = geo.center_distance_xy(dets.center[di], gt.center[cand])
+            best = int(cand[np.argmin(d)])
+            if float(np.min(d)) <= dist_thresh:
+                assigned[di] = gt.instance[best]
+                used[best] = True
+        elif method == "iou":
+            ious = np.array(
+                [
+                    geo.iou2d_bev(
+                        dets.center[di], dets.wlh[di], dets.quat[di],
+                        gt.center[g], gt.wlh[g], gt.quat[g],
+                    )
+                    for g in cand
+                ]
+            )
+            best_j = int(np.argmax(ious))
+            if ious[best_j] > iou_thresh:
+                assigned[di] = gt.instance[int(cand[best_j])]
+                used[int(cand[best_j])] = True
+        else:
+            raise ValueError(f"Unknown match method '{method}'")
+    return assigned
+
+
+def scene_from_frames(
+    scene_token: str,
+    sample_tokens: Sequence[str],
+    detections: Dict[str, FrameBoxes],
+    gt: Optional[Dict[str, FrameBoxes]],
+    ego_translations: np.ndarray,  # [F, 3]
+    ego_rotations: np.ndarray,  # [F, 4]
+    cfg: Optional[GraphConstructionConfig] = None,
+    ego_rad_min: float = 1.0,
+    ego_rad_max: float = 50.0,
+    img: Optional[Dict[str, np.ndarray]] = None,
+    lidar: Optional[Dict[str, np.ndarray]] = None,
+    radar: Optional[Dict[str, np.ndarray]] = None,
+) -> SceneDetections:
+    """Assemble a :class:`SceneDetections` for one scene.
+
+    Applies the reference's class filter and ego-radius gate (1-50 m on the
+    ego-frame xy norm, ``construct...parallel.py:155-158``), matches
+    detections to GT per frame, and converts boxes to the ego frame for the
+    pose features. Optional per-sample modality arrays (from the modality
+    feature extractors) are index-aligned with the *unfiltered* detection
+    list of each frame.
+    """
+    cfg = cfg or GraphConstructionConfig()
+    id2name = {v: k for k, v in TRACKING_CLASSES.items()}
+
+    instance_ids: Dict[str, int] = {}
+    rows: List[dict] = []
+
+    for f, tok in enumerate(sample_tokens):
+        dets = detections.get(tok, FrameBoxes.empty())
+        if len(dets) == 0:
+            continue
+        # match in global frame
+        if gt is not None:
+            assigned = match_frame(
+                dets,
+                gt.get(tok, FrameBoxes.empty()),
+                cfg.match_method,
+                cfg.match_dist_thresh,
+                cfg.match_iou_thresh,
+            )
+        else:
+            assigned = [None] * len(dets)
+
+        # global -> ego for the radius gate and pose features
+        c_e, q_e, v_e = geo.boxes_global_to_ego(
+            dets.center, dets.quat, dets.velocity,
+            ego_translations[f], ego_rotations[f],
+        )
+        radius = np.linalg.norm(c_e[:, :2], axis=1)
+        keep = (radius > ego_rad_min) & (radius < ego_rad_max)
+
+        yaw_g = geo.quaternion_yaw(dets.quat)
+        yaw_e = geo.quaternion_yaw(q_e)
+        for k in np.nonzero(keep)[0]:
+            inst = assigned[k]
+            if inst is not None and inst not in instance_ids:
+                instance_ids[inst] = len(instance_ids)
+            rows.append(
+                dict(
+                    frame=f,
+                    center_g=dets.center[k],
+                    yaw_g=yaw_g[k],
+                    vel_g=dets.velocity[k],
+                    center_e=c_e[k],
+                    yaw_e=yaw_e[k],
+                    vel_e=v_e[k],
+                    wlh=dets.wlh[k],
+                    class_id=int(dets.class_id[k]),
+                    score=float(dets.score[k]),
+                    token_id=-1 if inst is None else instance_ids[inst],
+                    token=inst,
+                    sample_token=tok,
+                    quat_g=dets.quat[k],
+                    img=None if img is None else img[tok][k],
+                    lidar=None if lidar is None else lidar[tok][k],
+                    radar=None if radar is None else radar[tok][k],
+                )
+            )
+
+    m = len(rows)
+    metadata = [
+        {
+            "sample_token": r["sample_token"],
+            "translation": np.asarray(r["center_g"]).tolist(),
+            "size": np.asarray(r["wlh"]).tolist(),
+            "rotation": np.asarray(r["quat_g"]).tolist(),
+            "velocity": np.asarray(r["vel_g"])[:2].tolist(),
+            "category_name": id2name[r["class_id"]],
+            "score": r["score"],
+            "token": r["token"],
+            "time": r["frame"],
+            "num_lidar_pts": 0,
+            "num_radar_pts": 0,
+        }
+        for r in rows
+    ]
+
+    def col(key, dtype=float):
+        if m == 0:
+            shape = {"center_g": (0, 3), "vel_g": (0, 3), "center_e": (0, 3),
+                     "vel_e": (0, 3), "wlh": (0, 3)}.get(key, (0,))
+            return np.zeros(shape, dtype)
+        return np.array([r[key] for r in rows], dtype)
+
+    def mod_col(key, shape):
+        if m == 0 or rows[0][key] is None:
+            return None
+        return np.array([r[key] for r in rows], np.float32)
+
+    return SceneDetections(
+        scene_token=scene_token,
+        num_frames=len(sample_tokens),
+        frame_idx=col("frame", np.int32),
+        center_g=col("center_g"),
+        yaw_g=col("yaw_g"),
+        vel_g=col("vel_g"),
+        center_e=col("center_e"),
+        yaw_e=col("yaw_e"),
+        vel_e=col("vel_e"),
+        wlh=col("wlh"),
+        class_id=col("class_id", np.int32),
+        score=col("score"),
+        token_id=col("token_id", np.int32),
+        metadata=metadata,
+        img=mod_col("img", None),
+        lidar=mod_col("lidar", None),
+        radar=mod_col("radar", None),
+    )
