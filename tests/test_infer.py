@@ -160,3 +160,23 @@ def test_e2e_tracks_recover_gt(e2e):
     assert len(submission["results"]) >= scene.num_frames
     total_boxes = sum(len(v) for v in submission["results"].values())
     assert total_boxes > 0
+
+
+def test_e2e_amota(e2e):
+    """Full-pipeline AMOTA on the synthetic held-out scene."""
+    from batch3dmot_tpu.eval.tracking_metrics import (
+        evaluate_tracking,
+        gt_boxes_from_scene,
+    )
+
+    scene, windows, scorer = e2e
+    pred_edges, _ = predict_scene(scorer, scene, windows, windows_per_batch=4)
+    cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
+    tracks = hierarchical_clusters(pred_edges, cats)
+    results = scene_results(tracks, scene)
+    pred_boxes = [b for boxes in results.values() for b in boxes]
+    gt_boxes = gt_boxes_from_scene(scene)
+    frames = all_scene_sample_tokens(scene)
+    res = evaluate_tracking(gt_boxes, pred_boxes, frames)
+    # the synthetic tracker should be clearly better than chance
+    assert res.amota > 0.3, res.summary()

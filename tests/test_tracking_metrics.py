@@ -1,0 +1,115 @@
+"""Tests for the native AMOTA/AMOTP tracking evaluator."""
+
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.eval.tracking_metrics import evaluate_tracking
+
+
+def _make_gt(num_tracks=3, num_frames=10, cls="car"):
+    gt = []
+    for t in range(num_tracks):
+        for f in range(num_frames):
+            gt.append(
+                {
+                    "sample_token": f"f{f}",
+                    "translation": [10.0 * t, 1.0 * f, 0.0],
+                    "tracking_name": cls,
+                    "instance": f"inst{t}",
+                }
+            )
+    return gt
+
+
+def _perfect_preds(gt):
+    return [
+        {
+            "sample_token": g["sample_token"],
+            "translation": g["translation"],
+            "tracking_name": g["tracking_name"],
+            "tracking_id": g["instance"],
+            "tracking_score": 0.9,
+        }
+        for g in gt
+    ]
+
+
+FRAMES = [f"f{f}" for f in range(10)]
+
+
+def test_perfect_tracking_amota_one():
+    gt = _make_gt()
+    res = evaluate_tracking(gt, _perfect_preds(gt), FRAMES)
+    assert res.per_class["car"]["amota"] == pytest.approx(1.0, abs=1e-6)
+    assert res.per_class["car"]["ids"] == 0
+    assert res.amota == pytest.approx(1.0, abs=1e-6)
+    assert res.per_class["car"]["amotp"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_empty_predictions_amota_zero():
+    gt = _make_gt()
+    res = evaluate_tracking(gt, [], FRAMES)
+    assert res.per_class["car"]["amota"] == 0.0
+
+
+def test_id_switch_detected():
+    gt = _make_gt(num_tracks=1)
+    preds = _perfect_preds(gt)
+    # switch track id halfway
+    for p in preds:
+        if int(p["sample_token"][1:]) >= 5:
+            p["tracking_id"] = "other"
+    res = evaluate_tracking(gt, preds, FRAMES)
+    assert res.per_class["car"]["ids"] == 1
+    assert res.per_class["car"]["amota"] < 1.0
+
+
+def test_false_positives_lower_amota():
+    gt = _make_gt()
+    preds = _perfect_preds(gt)
+    for f in range(10):
+        preds.append(
+            {
+                "sample_token": f"f{f}",
+                "translation": [500.0, 0, 0],
+                "tracking_name": "car",
+                "tracking_id": "fp",
+                "tracking_score": 0.95,
+            }
+        )
+    res = evaluate_tracking(gt, preds, FRAMES)
+    assert res.per_class["car"]["amota"] < 1.0
+
+
+def test_missed_half_lower_recall():
+    gt = _make_gt(num_tracks=2)
+    preds = _perfect_preds([g for g in gt if g["instance"] == "inst0"])
+    res = evaluate_tracking(gt, preds, FRAMES)
+    m = res.per_class["car"]
+    assert m["recall"] == pytest.approx(0.5, abs=0.05)
+    assert 0.0 < m["amota"] < 0.6
+
+
+def test_distance_gate_2m():
+    gt = _make_gt(num_tracks=1)
+    preds = _perfect_preds(gt)
+    for p in preds:
+        p["translation"] = [p["translation"][0] + 3.0, p["translation"][1], 0]
+    res = evaluate_tracking(gt, preds, FRAMES)
+    assert res.per_class["car"]["amota"] == 0.0
+
+
+def test_multi_class_average():
+    gt = _make_gt(cls="car") + _make_gt(cls="pedestrian")
+    preds = _perfect_preds([g for g in gt if g["tracking_name"] == "car"])
+    res = evaluate_tracking(gt, preds, FRAMES)
+    assert res.per_class["car"]["amota"] == pytest.approx(1.0, abs=1e-6)
+    assert res.per_class["pedestrian"]["amota"] == 0.0
+    assert res.amota == pytest.approx(0.5, abs=1e-6)
+
+
+def test_summary_renders():
+    gt = _make_gt()
+    res = evaluate_tracking(gt, _perfect_preds(gt), FRAMES)
+    s = res.summary()
+    assert "car" in s and "AMOTA" in s
