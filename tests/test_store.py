@@ -1,0 +1,86 @@
+"""Tests for the .b3d graph store: python writer/reader + native C++ loader."""
+
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.config import GraphConstructionConfig
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graphs import build_scene_graphs
+from batch3dmot_tpu.io import GraphStoreReader, load_scene_graphs, save_scene_graphs
+from batch3dmot_tpu.io.native import (
+    NativeGraphStore,
+    batch_to_padded_graph,
+    native_available,
+)
+from batch3dmot_tpu.train.data import to_padded
+
+
+@pytest.fixture(scope="module")
+def scene_windows():
+    scene = make_synthetic_scene(
+        seed=0, num_frames=7, num_tracks=5, with_modalities=True
+    )
+    windows = list(
+        build_scene_graphs(scene, 3, GraphConstructionConfig(top_knn_nodes=4))
+    )
+    return scene, windows
+
+
+def test_roundtrip_python_reader(tmp_path, scene_windows):
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path), metadata=scene.metadata)
+    loaded = load_scene_graphs(path)
+    assert len(loaded) == len(windows)
+    for a, b in zip(windows, loaded):
+        assert a.window_start == b.window_start
+        np.testing.assert_array_equal(a.edge_src, b.edge_src)
+        np.testing.assert_array_equal(a.edge_dst, b.edge_dst)
+        np.testing.assert_allclose(a.pose, b.pose, rtol=1e-6)
+        np.testing.assert_allclose(a.edge_attr, b.edge_attr, rtol=1e-6)
+        np.testing.assert_array_equal(a.edge_label, b.edge_label)
+        np.testing.assert_allclose(a.img, b.img, rtol=1e-6)
+        np.testing.assert_allclose(a.lidar, b.lidar, rtol=1e-6)
+    assert (tmp_path / f"{scene.scene_token}_len3_metadata.json").exists()
+
+
+def test_native_loader_matches_python(tmp_path, scene_windows):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path))
+    store = NativeGraphStore(path)
+    assert store.num_windows == len(windows)
+    n, e = store.window_sizes()
+    assert n.tolist() == [w.num_nodes for w in windows]
+    assert e.tolist() == [w.num_edges for w in windows]
+
+    batch = store.fill_padded_batch([0, 1, -1], 64, 256)
+    g = batch_to_padded_graph(batch)
+
+    ref0 = to_padded(windows[0], 64, 256)
+    np.testing.assert_allclose(np.asarray(g.pose[0]), np.asarray(ref0.pose), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g.edge_src[0]), np.asarray(ref0.edge_src))
+    np.testing.assert_array_equal(np.asarray(g.node_mask[0]), np.asarray(ref0.node_mask))
+    np.testing.assert_array_equal(np.asarray(g.node_time[0]), np.asarray(ref0.node_time))
+    np.testing.assert_allclose(np.asarray(g.img[0]), np.asarray(ref0.img), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g.edge_weight[1]),
+        np.asarray(to_padded(windows[1], 64, 256).edge_weight),
+        rtol=1e-6,
+    )
+    # empty slot: all masks off, node_time = -1
+    assert not np.asarray(g.node_mask[2]).any()
+    assert not np.asarray(g.edge_mask[2]).any()
+    assert (np.asarray(g.node_time[2]) == -1).all()
+    store.close()
+
+
+def test_native_budget_check(tmp_path, scene_windows):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path))
+    store = NativeGraphStore(path)
+    with pytest.raises(ValueError):
+        store.fill_padded_batch([0], 2, 2)
+    store.close()
