@@ -316,6 +316,12 @@ class Config:
 
     def apply_overrides(self, overrides: List[str]) -> None:
         """Apply ``section.key=value`` CLI overrides (e.g. ``gnn.lr=3e-4``)."""
+        explicit = {o.split("=", 1)[0] for o in overrides if "=" in o}
+        if "paths.tmp" in explicit or "main.dataset" in explicit:
+            # re-derive dependent paths unless they are overridden themselves
+            for leaf in ("graphs_dir", "models", "eval", "detections_dir"):
+                if f"paths.{leaf}" not in explicit:
+                    setattr(self.paths, leaf, "")
         for item in overrides:
             if "=" not in item:
                 raise ValueError(f"Override '{item}' is not of form key=value")
@@ -332,6 +338,7 @@ class Config:
                 obj[leaf] = _coerce(value, obj.get(leaf))
             else:
                 raise ValueError(f"Cannot override '{dotted}'")
+        self.paths.finalize(self.main.dataset)
         self.validate()
 
 

@@ -22,6 +22,7 @@ parallelism shards the leading window dimension (see
 from __future__ import annotations
 
 import time
+import warnings
 from collections import defaultdict
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -180,7 +181,7 @@ class GNNTrainer:
             batch = self.shard_batch(batch)
             self.state, loss, scores = self._train_step(self.state, batch)
             self._batch_metrics(metrics, "train", loss, scores, batch)
-        return {k: float(np.nanmean(v)) for k, v in metrics.items()}
+        return _nanmean_metrics(metrics)
 
     def eval_epoch(self, batcher: GraphBatcher) -> Dict[str, float]:
         metrics: Dict[str, List[float]] = defaultdict(list)
@@ -188,7 +189,7 @@ class GNNTrainer:
             batch = self.shard_batch(batch)
             loss, scores = self._eval_step(self.state, batch)
             self._batch_metrics(metrics, "val", loss, scores, batch)
-        return {k: float(np.nanmean(v)) for k, v in metrics.items()}
+        return _nanmean_metrics(metrics)
 
     def fit(
         self,
@@ -233,6 +234,12 @@ class GNNTrainer:
     @property
     def variables(self) -> Dict[str, Any]:
         return {"params": self.state.params, **self.state.extra_variables}
+
+
+def _nanmean_metrics(metrics: Dict[str, List[float]]) -> Dict[str, float]:
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN class APs
+        return {k: float(np.nanmean(v)) for k, v in metrics.items()}
 
 
 def average_precision_np(scores: np.ndarray, labels: np.ndarray) -> float:
