@@ -147,3 +147,19 @@ def test_knn_graph_pair_constraint():
     src, dst, mask = knn_graph_masked(x, k=3, pair_valid=pair)
     edges = {(int(s), int(t_)) for s, t_, m in zip(src, dst, mask) if m}
     assert edges == {(1, 0), (0, 1), (3, 2), (2, 3)}
+
+
+def test_pallas_segment_sum_interpret(rng):
+    """Pallas kernel vs numpy golden (interpreter mode on CPU)."""
+    from batch3dmot_tpu.ops.pallas_segment import segment_sum_pallas
+
+    e, n, dim = 300, 70, 32
+    data = rng.normal(size=(e, dim)).astype(np.float32)
+    ids = rng.integers(0, n, size=e)
+    mask = rng.random(e) > 0.2
+    out = segment_sum_pallas(
+        jnp.array(data), jnp.array(ids), n, jnp.array(mask), interpret=True
+    )
+    np.testing.assert_allclose(
+        out, np_segment_sum(data, ids, n, mask), rtol=1e-5, atol=1e-5
+    )
