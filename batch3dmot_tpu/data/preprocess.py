@@ -1,0 +1,374 @@
+"""L2 modality preprocessing pipeline: per-annotation artifacts for encoder
+training.
+
+Rebuilds the reference's ``preprocessing/preprocess_{img,lidar,radar}.py``
+on the native table reader:
+
+  * image annotations: the reference consumes the devkit's
+    ``image_annotations.json`` 2D reprojections; here they are generated
+    natively from the tables (camera calib + GT boxes + corner-visibility
+    camera selection), then class-filtered and ego-radius-gated into the
+    split-keyed ``processed_img_anns.json`` contract;
+  * lidar: multisweep cloud -> ego frame -> box mask -> per-annotation
+    ``<ann_token>.npy`` + ``processed_lidar_anns.json``;
+  * radar: camera-mapped radar channels, velocity-rotated multisweep,
+    1.05x box, z-ignoring mask -> ``<ann_token>.npy`` +
+    ``processed_radar_anns.json``.
+
+The reference bakes random yaw/scale augmentation INTO the cached lidar and
+radar artifacts (``preprocess_lidar.py:165-176``); here augmentation is an
+explicit ``augment=`` option applied at dataset load time instead
+(SURVEY.md §6.1-6), keeping caches deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from batch3dmot_tpu import geometry as geo
+from batch3dmot_tpu.config import (
+    CATEGORY_TO_TRACKING_NAME,
+    TRACKING_CLASSES,
+    Config,
+)
+from batch3dmot_tpu.data import modality as mod
+from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
+
+
+def _ann_box(tables: NuScenesTables, ann: dict):
+    return (
+        np.array(ann["translation"], float),
+        np.array(ann["size"], float),
+        np.array(ann["rotation"], float),
+    )
+
+
+def _ego_of_sample(tables: NuScenesTables, sample_token: str):
+    return tables.ego_pose_of_sample(sample_token)
+
+
+def _cameras_of_sample(tables: NuScenesTables, sample_token: str) -> List[dict]:
+    cams = []
+    for channel, sd_tok in tables.sample_channels(sample_token).items():
+        if not channel.startswith("CAM"):
+            continue
+        sd = tables.get("sample_data", sd_tok)
+        cs = tables.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        cams.append(
+            {
+                "channel": channel,
+                "filename": sd["filename"],
+                "cs_translation": np.array(cs["translation"]),
+                "cs_rotation": np.array(cs["rotation"]),
+                "intrinsic": np.array(cs["camera_intrinsic"]),
+                "imsize": (sd.get("width", 1600), sd.get("height", 900)),
+            }
+        )
+    return cams
+
+
+def _split_of_scene(tables: NuScenesTables, scene_token: str, splits) -> List[str]:
+    name = tables.get("scene", scene_token)["name"]
+    out = []
+    for split, metas in splits.items():
+        if any(m["name"] == name for m in metas):
+            out.append(split)
+    return out or ["all"]
+
+
+def generate_image_annotations(
+    tables: NuScenesTables,
+    cfg: Optional[Config] = None,
+    splits_json: Optional[str] = None,
+) -> Dict[str, List[dict]]:
+    """Split-keyed processed image annotations (the reference's
+    ``processed_img_anns.json`` contract: filename, bbox_corners,
+    category_name, sample_annotation_token, visibility_token,
+    ann_ego_radius)."""
+    cfg = cfg or Config()
+    splits = tables.split_scene_lists(splits_json)
+    out: Dict[str, List[dict]] = {s: [] for s in splits}
+
+    for ann in tables.table("sample_annotation"):
+        inst = tables.get("instance", ann["instance_token"])
+        cat = tables.get("category", inst["category_token"])["name"]
+        if CATEGORY_TO_TRACKING_NAME.get(cat) is None:
+            continue
+        sample_token = ann["sample_token"]
+        ego_t, ego_q = _ego_of_sample(tables, sample_token)
+        center, wlh, quat = _ann_box(tables, ann)
+        radius = float(np.linalg.norm(center[:2] - ego_t[:2]))
+        if not (cfg.resnet.ego_rad_min < radius < cfg.resnet.ego_rad_max):
+            continue
+        c_e, q_e, _ = geo.boxes_global_to_ego(
+            center[None], quat[None], np.zeros((1, 3)), ego_t, ego_q
+        )
+        cams = _cameras_of_sample(tables, sample_token)
+        if not cams:
+            continue
+        cam_idx, vis = mod.select_camera(c_e[0], wlh, q_e[0], cams)
+        cam = cams[cam_idx]
+        coords = mod.crop_coords_for_box(c_e[0], wlh, q_e[0], cam)
+        if coords is None or vis == 0:
+            continue
+        entry = {
+            "sample_annotation_token": ann["token"],
+            "sample_token": sample_token,
+            "filename": cam["filename"],
+            "camera_channel": cam["channel"],
+            "bbox_corners": list(coords),
+            "category_name": cat,
+            "visibility_token": ann.get("visibility_token", "4"),
+            "ann_ego_radius": radius,
+        }
+        scene_tok = tables.get("sample", sample_token)["scene_token"]
+        for split in _split_of_scene(tables, scene_tok, splits):
+            out[split].append(entry)
+    return out
+
+
+def preprocess_lidar_annotations(
+    tables: NuScenesTables,
+    out_dir: str,
+    cfg: Optional[Config] = None,
+    splits_json: Optional[str] = None,
+) -> Dict[str, List[dict]]:
+    """Masked per-annotation lidar clouds -> ``<ann_token>.npy`` (un-augmented,
+    deterministic) + split-keyed metadata entries."""
+    cfg = cfg or Config()
+    os.makedirs(out_dir, exist_ok=True)
+    splits = tables.split_scene_lists(splits_json)
+    out: Dict[str, List[dict]] = {s: [] for s in splits}
+
+    for ann in tables.table("sample_annotation"):
+        inst = tables.get("instance", ann["instance_token"])
+        cat = tables.get("category", inst["category_token"])["name"]
+        if CATEGORY_TO_TRACKING_NAME.get(cat) is None:
+            continue
+        sample_token = ann["sample_token"]
+        pts = mod.multisweep_points(
+            tables,
+            sample_token,
+            "LIDAR_TOP",
+            cfg.preprocessing.nsweeps_lidar,
+            mod.load_lidar_bin,
+        )
+        ref_sd = tables.sample_lidar_sd(sample_token)
+        cs = tables.get("calibrated_sensor", ref_sd["calibrated_sensor_token"])
+        pts_ego = mod.sensor_to_ego(pts, cs["translation"], np.array(cs["rotation"]))
+
+        ego_t, ego_q = _ego_of_sample(tables, sample_token)
+        center, wlh, quat = _ann_box(tables, ann)
+        c_e, q_e, _ = geo.boxes_global_to_ego(
+            center[None], quat[None], np.zeros((1, 3)), ego_t, ego_q
+        )
+        mask = geo.points_in_box(c_e[0], wlh, q_e[0], pts_ego[0:3])
+        masked = pts_ego[:, mask]
+        radius = float(np.linalg.norm(center[:2] - ego_t[:2]))
+
+        np.save(os.path.join(out_dir, f"{ann['token']}.npy"), masked.astype(np.float32))
+        entry = {
+            "sample_annotation_token": ann["token"],
+            "sample_token": sample_token,
+            "category_name": cat,
+            "num_lidar_pts": int(masked.shape[1]),
+            "ann_ego_radius": radius,
+        }
+        scene_tok = tables.get("sample", sample_token)["scene_token"]
+        for split in _split_of_scene(tables, scene_tok, splits):
+            out[split].append(entry)
+    return out
+
+
+def preprocess_radar_annotations(
+    tables: NuScenesTables,
+    out_dir: str,
+    img_anns: Dict[str, List[dict]],
+    cfg: Optional[Config] = None,
+    splits_json: Optional[str] = None,
+) -> Dict[str, List[dict]]:
+    """Per-annotation radar vectors via the camera->radar channel map of the
+    annotation's best camera (reference ``preprocess_radar.py``)."""
+    cfg = cfg or Config()
+    os.makedirs(out_dir, exist_ok=True)
+    splits = tables.split_scene_lists(splits_json)
+    out: Dict[str, List[dict]] = {s: [] for s in splits}
+
+    cam_of_ann = {
+        e["sample_annotation_token"]: e.get("camera_channel", "CAM_FRONT")
+        for entries in img_anns.values()
+        for e in entries
+    }
+
+    for ann in tables.table("sample_annotation"):
+        inst = tables.get("instance", ann["instance_token"])
+        cat = tables.get("category", inst["category_token"])["name"]
+        if CATEGORY_TO_TRACKING_NAME.get(cat) is None:
+            continue
+        channel = cam_of_ann.get(ann["token"])
+        if channel is None:
+            continue
+        sample_token = ann["sample_token"]
+        chunks = []
+        for radar_channel in mod.CAM_TO_RADAR[channel]:
+            try:
+                chunks.append(
+                    mod.multisweep_points(
+                        tables,
+                        sample_token,
+                        radar_channel,
+                        cfg.preprocessing.nsweeps_radar,
+                        mod.load_radar_pcd,
+                        rotate_velocity_rows=(8, 9),
+                    )
+                )
+            except KeyError:
+                continue  # channel absent from this sample
+        if not chunks:
+            continue
+        pts = np.concatenate(chunks, axis=1)
+        ref_sd = tables.sample_lidar_sd(sample_token)
+        cs = tables.get("calibrated_sensor", ref_sd["calibrated_sensor_token"])
+        pts_ego = mod.sensor_to_ego(pts, cs["translation"], np.array(cs["rotation"]))
+
+        ego_t, ego_q = _ego_of_sample(tables, sample_token)
+        center, wlh, quat = _ann_box(tables, ann)
+        c_e, q_e, _ = geo.boxes_global_to_ego(
+            center[None], quat[None], np.zeros((1, 3)), ego_t, ego_q
+        )
+        mask = geo.points_in_box(
+            c_e[0], wlh * 1.05, q_e[0], pts_ego[0:3], ignore_z=True
+        )
+        masked = pts_ego[:, mask]
+        radius = float(np.linalg.norm(center[:2] - ego_t[:2]))
+
+        np.save(os.path.join(out_dir, f"{ann['token']}.npy"), masked.astype(np.float32))
+        entry = {
+            "sample_annotation_token": ann["token"],
+            "sample_token": sample_token,
+            "category_name": cat,
+            "num_radar_pts": int(masked.shape[1]),
+            "ann_ego_radius": radius,
+        }
+        scene_tok = tables.get("sample", sample_token)["scene_token"]
+        for split in _split_of_scene(tables, scene_tok, splits):
+            out[split].append(entry)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder dataset batch iterators (reference utils/dataset.py equivalents)
+# ---------------------------------------------------------------------------
+
+
+def image_batches(
+    dataroot: str,
+    entries: List[dict],
+    batch_size: int,
+    res_size: int = 32,
+    color_enhance: float = 2.0,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Cropped, color-enhanced (x2.0, reference dataset.py:155-156) image
+    batches with 1-indexed class labels mapped to 0-indexed targets."""
+    from PIL import Image, ImageEnhance
+
+    rng = rng or np.random.default_rng()
+    idx = np.arange(len(entries))
+    if shuffle:
+        rng.shuffle(idx)
+    for lo in range(0, len(idx) - batch_size + 1, batch_size):
+        imgs, labels = [], []
+        for i in idx[lo : lo + batch_size]:
+            e = entries[i]
+            img = Image.open(os.path.join(dataroot, e["filename"])).convert("RGB")
+            c = e["bbox_corners"]
+            crop = img.crop((round(c[0]), round(c[1]), round(c[2]), round(c[3])))
+            crop = ImageEnhance.Color(crop).enhance(color_enhance)
+            crop = crop.resize((res_size, res_size), Image.BILINEAR)
+            imgs.append(np.asarray(crop, np.float32) / 255.0)
+            tname = CATEGORY_TO_TRACKING_NAME[e["category_name"]]
+            labels.append(TRACKING_CLASSES[tname] - 1)
+        yield np.stack(imgs), np.array(labels, np.int32)
+
+
+def lidar_batches(
+    npy_dir: str,
+    entries: List[dict],
+    batch_size: int,
+    min_pts: int = 6,
+    ego_rad: Tuple[float, float] = (1.0, 50.0),
+    num_points: int = 128,
+    augment: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Normalized fixed-size lidar clouds + labels (reference
+    PointCloudDataset + collate_lidar; augmentation applied here on demand,
+    not baked into the .npy cache)."""
+    rng = rng or np.random.default_rng()
+    valid = [
+        e
+        for e in entries
+        if e["num_lidar_pts"] > min_pts
+        and ego_rad[0] < e["ann_ego_radius"] < ego_rad[1]
+    ]
+    idx = np.arange(len(valid))
+    if shuffle:
+        rng.shuffle(idx)
+    for lo in range(0, len(idx) - batch_size + 1, batch_size):
+        pcs, labels = [], []
+        for i in idx[lo : lo + batch_size]:
+            e = valid[i]
+            pc = np.load(os.path.join(npy_dir, f"{e['sample_annotation_token']}.npy"))
+            if augment:
+                yaw = rng.uniform(-np.pi / 10, np.pi / 10)
+                R = geo.quat_rotation_matrix(geo.yaw_to_quat(yaw))
+                centroid = pc[0:3].mean(axis=1, keepdims=True)
+                pc = pc.copy()
+                pc[0:3] = R @ (pc[0:3] - centroid) + centroid
+            pc = mod.reference_normalize(pc)
+            pcs.append(mod.collate_fixed_size(pc, num_points, 3, rng).T)
+            tname = CATEGORY_TO_TRACKING_NAME[e["category_name"]]
+            labels.append(TRACKING_CLASSES[tname] - 1)
+        yield np.stack(pcs), np.array(labels, np.int32)
+
+
+def radar_batches(
+    npy_dir: str,
+    entries: List[dict],
+    batch_size: int,
+    min_pts: int = 2,
+    ego_rad: Tuple[float, float] = (1.0, 50.0),
+    num_points: int = 64,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Radar 4-vectors [x, y, vx_comp, vy_comp] + labels (reference
+    RadarDataset + collate_radar; dataset-variant normalization)."""
+    rng = rng or np.random.default_rng()
+    valid = [
+        e
+        for e in entries
+        if e["num_radar_pts"] >= min_pts
+        and ego_rad[0] < e["ann_ego_radius"] < ego_rad[1]
+    ]
+    idx = np.arange(len(valid))
+    if shuffle:
+        rng.shuffle(idx)
+    for lo in range(0, len(idx) - batch_size + 1, batch_size):
+        pcs, labels = [], []
+        for i in idx[lo : lo + batch_size]:
+            e = valid[i]
+            pc = np.load(os.path.join(npy_dir, f"{e['sample_annotation_token']}.npy"))
+            pc = mod.encoder_dataset_normalize(pc)
+            vec = pc[[0, 1, 8, 9], :]
+            pcs.append(mod.collate_fixed_size(vec, num_points, 4, rng).T)
+            tname = CATEGORY_TO_TRACKING_NAME[e["category_name"]]
+            labels.append(TRACKING_CLASSES[tname] - 1)
+        yield np.stack(pcs), np.array(labels, np.int32)

@@ -151,6 +151,7 @@ class EncoderTrainer:
         log_dir: Optional[str] = None,
         prefix: str = "encoder",
         verbose: bool = True,
+        writer=None,
     ) -> List[Dict[str, float]]:
         history = []
         for epoch in range(epochs):
@@ -176,6 +177,8 @@ class EncoderTrainer:
                     m[f"val/{k}"] = float(np.mean([a[k] for a in va]))
             m["epoch_time_s"] = time.time() - t0
             history.append(m)
+            if writer is not None:
+                writer.log(epoch, m)
             if verbose:
                 print(f"{prefix} epoch {epoch}: {m}")
             if log_dir:

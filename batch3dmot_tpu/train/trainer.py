@@ -199,6 +199,7 @@ class GNNTrainer:
         log_dir: Optional[str] = None,
         version: str = "synthetic",
         verbose: bool = True,
+        writer=None,
     ) -> List[Dict[str, float]]:
         history = []
         for epoch in range(epochs):
@@ -208,6 +209,8 @@ class GNNTrainer:
                 m.update(self.eval_epoch(val_batcher))
             m["epoch_time_s"] = time.time() - t0
             history.append(m)
+            if writer is not None:
+                writer.log(epoch, m)
             if verbose:
                 val_ap = m.get("val/avgprec", float("nan"))
                 print(
