@@ -34,6 +34,7 @@ from batch3dmot_tpu.graph import (
     DEFAULT_BUCKETS,
     batch_graphs,
     empty_graph,
+    pad_graph,
     pick_bucket,
 )
 from batch3dmot_tpu.train.data import to_padded
@@ -51,6 +52,122 @@ def make_scorer(model, variables) -> Callable:
         return scores
 
     return run
+
+
+def make_scene_encoded_scorer(model, variables) -> "SceneEncodedScorer":
+    """Encode-once inference for the multimodal GNN.
+
+    The reference re-runs the frozen encoders on every node of every window,
+    so a detection appearing in L overlapping windows is encoded L times
+    (``predict.py:172-197``) — and the encoders are where the FLOPs are.
+    Here all detections of a scene are encoded in ONE dense device batch and
+    the per-window forwards gather the embeddings by detection index.
+    """
+    return SceneEncodedScorer(model, variables)
+
+
+class SceneEncodedScorer:
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+        @jax.jit
+        def encode(img, lidar, radar):
+            x_img, pn, rn = model.apply(
+                variables, img, lidar, radar, method=model.encode_frozen
+            )
+            lp = (lidar.sum(axis=(1, 2)) != 0)
+            rp = (radar.sum(axis=(1, 2)) != 0)
+            return x_img, pn, rn, lp, rp
+
+        @jax.jit
+        def fwd(batch, det_index, enc):
+            x_img, pn, rn, lp, rp = enc
+
+            def one(g, idx):
+                scores, _ = model.apply(
+                    self.variables,
+                    g,
+                    x_img[idx],
+                    pn[idx],
+                    rn[idx],
+                    lp[idx],
+                    rp[idx],
+                    method=model.forward_from_encodings,
+                )
+                return scores
+
+            return jax.vmap(one)(batch, det_index)
+
+        self._encode = encode
+        self._fwd = fwd
+
+    def score_scene(
+        self,
+        scene: "SceneDetections",
+        windows: Sequence[WindowGraphArrays],
+        windows_per_batch: int = 8,
+        buckets=DEFAULT_BUCKETS,
+    ) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        m = scene.num_detections
+        m_pad = max(256, -(-m // 256) * 256)  # bucket to multiples of 256
+
+        def padm(a, shape_tail):
+            out = np.zeros((m_pad, *shape_tail), np.float32)
+            if a is not None and m:
+                out[:m] = a
+            return jnp.asarray(out)
+
+        from batch3dmot_tpu.graph import IMG_SHAPE, LIDAR_SHAPE, RADAR_SHAPE
+
+        enc = self._encode(
+            padm(scene.img, IMG_SHAPE),
+            padm(scene.lidar, LIDAR_SHAPE),
+            padm(scene.radar, RADAR_SHAPE),
+        )
+
+        results: List[Optional[np.ndarray]] = [None] * len(windows)
+        by_bucket: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        for i, w in enumerate(windows):
+            if w.num_nodes == 0 or w.num_edges == 0:
+                results[i] = np.zeros((0,), np.float32)
+                continue
+            by_bucket[pick_bucket(w.num_nodes, w.num_edges, buckets)].append(i)
+
+        for (mn, me), idxs in by_bucket.items():
+            for lo in range(0, len(idxs), windows_per_batch):
+                chunk = idxs[lo : lo + windows_per_batch]
+                graphs, dets = [], []
+                for i in chunk:
+                    w = windows[i]
+                    # modality arrays intentionally omitted: embeddings are
+                    # gathered from the scene-level encode
+                    graphs.append(
+                        pad_graph(
+                            pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+                            edge_attr=w.edge_attr, node_time=w.node_time,
+                            node_class=w.node_class, max_nodes=mn, max_edges=me,
+                            edge_label=w.edge_label, edge_weight=w.edge_weight,
+                        )
+                    )
+                    di = np.zeros(mn, np.int32)
+                    di[: w.num_nodes] = w.det_index
+                    dets.append(di)
+                while len(graphs) < windows_per_batch:
+                    graphs.append(empty_graph(mn, me))
+                    dets.append(np.zeros(mn, np.int32))
+                scores = np.asarray(
+                    self._fwd(
+                        batch_graphs(graphs),
+                        jnp.asarray(np.stack(dets)),
+                        enc,
+                    )
+                )
+                for slot, i in enumerate(chunk):
+                    results[i] = scores[slot, : windows[i].num_edges]
+        return results  # type: ignore[return-value]
 
 
 def score_windows(
@@ -159,7 +276,10 @@ def predict_scene(
         cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
     )
     wpb = cfg.predict.windows_per_batch if cfg else windows_per_batch
-    scores = score_windows(scorer, windows, wpb)
+    if isinstance(scorer, SceneEncodedScorer):
+        scores = scorer.score_scene(scene, windows, wpb)
+    else:
+        scores = score_windows(scorer, windows, wpb)
     avg = average_scene_edges(windows, scores)
     kept = threshold_edges(avg, scene, thresholds)
     pred_edges = greedy_round(kept)

@@ -150,26 +150,50 @@ class MultimodalGNN(nn.Module):
         )
         self.knn_conv = GATConv(self.node_dim)
 
-    def __call__(self, g: PaddedGraph) -> Tuple[jax.Array, jax.Array]:
-        n = g.pose.shape[0]
-        src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
+    def encode_frozen(
+        self, img: jax.Array, lidar: jax.Array, radar: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Frozen-encoder features for a batch of detections.
 
-        # Modality presence from (signed) feature sums — vectorized form of
-        # the reference's per-node python loop (clr_att_gnn.py:107-121).
-        lidar_present = jnp.sum(g.lidar, axis=(1, 2)) != 0
-        radar_present = jnp.sum(g.radar, axis=(1, 2)) != 0
+        Exposed separately so inference can encode every scene detection
+        exactly ONCE and let overlapping windows gather the embeddings —
+        the reference (and the plain ``__call__``) re-encodes each detection
+        in every window it appears in (L-fold waste on the dominant FLOPs).
 
-        edge_attr = self.edge_encoder(g.edge_attr)
-
-        # Frozen encoders over ALL padded nodes (one big MXU batch), gated by
-        # presence masks afterwards; running-stats BatchNorm, no dropout.
-        x_img = self.resnet.encode(g.img)
-        pn = self.pointnet.feat_256(g.lidar)
-        rn = self.radarnet.feat_256(g.radar)
+        Returns raw (x_img [., 96], pointnet_256, radarnet_256) — presence
+        gating and the trainable projection heads happen in
+        :meth:`forward_from_encodings` so this output is checkpoint-stable.
+        """
+        x_img = self.resnet.encode(img)
+        pn = self.pointnet.feat_256(lidar)
+        rn = self.radarnet.feat_256(radar)
         if self.freeze_encoders:
             x_img = jax.lax.stop_gradient(x_img)
             pn = jax.lax.stop_gradient(pn)
             rn = jax.lax.stop_gradient(rn)
+        return x_img, pn, rn
+
+    def __call__(self, g: PaddedGraph) -> Tuple[jax.Array, jax.Array]:
+        x_img, pn, rn = self.encode_frozen(g.img, g.lidar, g.radar)
+        lidar_present = jnp.sum(g.lidar, axis=(1, 2)) != 0
+        radar_present = jnp.sum(g.radar, axis=(1, 2)) != 0
+        return self.forward_from_encodings(
+            g, x_img, pn, rn, lidar_present, radar_present
+        )
+
+    def forward_from_encodings(
+        self,
+        g: PaddedGraph,
+        x_img: jax.Array,  # [N, 96]
+        pn: jax.Array,  # [N, 256] pointnet features
+        rn: jax.Array,  # [N, 256] radarnet features
+        lidar_present: jax.Array,  # [N] bool — vectorized form of the
+        radar_present: jax.Array,  # reference's per-node loop (:107-121)
+    ) -> Tuple[jax.Array, jax.Array]:
+        src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
+
+        edge_attr = self.edge_encoder(g.edge_attr)
+
         x_lidar = jnp.where(
             lidar_present[:, None], self.fc_lidar_encoder(pn), 0.0
         )

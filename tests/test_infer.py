@@ -180,3 +180,32 @@ def test_e2e_amota(e2e):
     res = evaluate_tracking(gt_boxes, pred_boxes, frames)
     # the synthetic tracker should be clearly better than chance
     assert res.amota > 0.3, res.summary()
+
+
+def test_scene_encoded_scorer_matches_plain():
+    """Encode-once scene scorer must produce the same real-edge scores as
+    the per-window scorer (same frozen encoders, gathered embeddings)."""
+    import jax
+
+    from batch3dmot_tpu.infer.predict import make_scene_encoded_scorer
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scene = make_synthetic_scene(
+        seed=5, num_frames=6, num_tracks=4, with_modalities=True,
+        modality_dropout=0.4,
+    )
+    windows = [
+        w for w in build_scene_graphs(scene, 3, GraphConstructionConfig(top_knn_nodes=4))
+        if w.num_edges > 0
+    ]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(jax.random.key(0), to_padded(windows[0], *BUCKETS[0]))
+
+    plain = make_scorer(model, variables)
+    plain_scores = score_windows(plain, windows, windows_per_batch=4, buckets=BUCKETS)
+
+    scorer = make_scene_encoded_scorer(model, variables)
+    scene_scores = scorer.score_scene(scene, windows, windows_per_batch=4, buckets=BUCKETS)
+
+    for a, b in zip(plain_scores, scene_scores):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
