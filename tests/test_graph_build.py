@@ -267,3 +267,34 @@ def test_build_scene_graphs_window_count():
     graphs = list(build_scene_graphs(scene, window_len=3))
     assert len(graphs) == 8  # nbr_samples - L + 1
     assert all(g.window_len == 3 for g in graphs)
+
+
+# ---------------------------------------------------------------------------
+# Device-side builder equivalence
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_device_builder_matches_numpy(seed):
+    from batch3dmot_tpu.graphs.build_device import build_scene_graphs_device
+
+    scene = make_synthetic_scene(seed=seed, num_frames=8, num_tracks=8)
+    cfg = GraphConstructionConfig(top_knn_nodes=5)
+    np_windows = list(build_scene_graphs(scene, 3, cfg))
+    dv_windows = build_scene_graphs_device(scene, 3, cfg)
+    assert len(np_windows) == len(dv_windows)
+    for a, b in zip(np_windows, dv_windows):
+        assert a.num_nodes == b.num_nodes
+        np.testing.assert_array_equal(a.det_index, b.det_index)
+        np.testing.assert_allclose(a.pose, b.pose, rtol=1e-5, atol=1e-5)
+        # edge sets with labels must match exactly
+        got = sorted(zip(b.edge_src.tolist(), b.edge_dst.tolist(), b.edge_label.tolist()))
+        want = sorted(zip(a.edge_src.tolist(), a.edge_dst.tolist(), a.edge_label.tolist()))
+        assert got == want
+        # features per edge
+        fa = {(int(s), int(d)): f for s, d, f in zip(a.edge_src, a.edge_dst, a.edge_attr)}
+        for s, d, f in zip(b.edge_src, b.edge_dst, b.edge_attr):
+            np.testing.assert_allclose(f, fa[(int(s), int(d))], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            sorted(a.edge_weight.tolist()), sorted(b.edge_weight.tolist()), rtol=1e-6
+        )
