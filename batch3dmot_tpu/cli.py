@@ -137,20 +137,18 @@ def _load_stores(cfg: Config):
 
 def cmd_train_gnn(args) -> None:
     cfg = _load_config(args)
-    from batch3dmot_tpu.io import load_scene_graphs
+    from batch3dmot_tpu.io import GraphStoreReader
     from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
     from batch3dmot_tpu.train import GNNTrainer
-    from batch3dmot_tpu.train.data import GraphBatcher, to_padded
+    from batch3dmot_tpu.train.data import to_padded
+    from batch3dmot_tpu.train.store_data import make_batcher
     from batch3dmot_tpu.graph import pick_bucket
+    from batch3dmot_tpu.utils.metric_logging import MetricWriter
 
-    windows = []
-    for path in _load_stores(cfg):
-        windows.extend(load_scene_graphs(path))
-    windows = [w for w in windows if w.num_edges > 0]
-    print(f"train-gnn: {len(windows)} windows")
-
-    n_val = max(1, len(windows) // 10)
-    train_w, val_w = windows[:-n_val], windows[-n_val:]
+    store_paths = _load_stores(cfg)
+    n_val_scenes = max(1, len(store_paths) // 10)
+    train_paths = store_paths[:-n_val_scenes] or store_paths
+    val_paths = store_paths[-n_val_scenes:]
 
     if args.model == "pose":
         model = PoseGNN(depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode)
@@ -161,10 +159,9 @@ def cmd_train_gnn(args) -> None:
             knn_conv_mode=cfg.gnn.knn_conv_mode,
         )
 
-    bucket = pick_bucket(
-        max(w.num_nodes for w in windows), max(w.num_edges for w in windows)
-    )
-    example = to_padded(windows[0], *bucket)
+    first = GraphStoreReader(store_paths[0]).window(0)
+    bucket = pick_bucket(max(first.num_nodes, 1), max(first.num_edges, 1))
+    example = to_padded(first, *bucket)
     trainer = GNNTrainer(model, example, cfg.gnn)
     if args.init_checkpoint:
         from batch3dmot_tpu.utils.checkpoint import load_checkpoint
@@ -173,13 +170,20 @@ def cmd_train_gnn(args) -> None:
         trainer.state = trainer.state.replace(
             params=trainer_vars.pop("params"), extra_variables=trainer_vars
         )
+    train_batcher = make_batcher(train_paths, cfg.gnn.batch_size)
+    val_batcher = make_batcher(val_paths, cfg.gnn.batch_size) if val_paths else None
+    print(
+        f"train-gnn: {len(store_paths)} scene stores, "
+        f"{len(train_batcher)} train batches/epoch"
+    )
     log_dir = os.path.join(cfg.paths.models, "gnn")
     history = trainer.fit(
-        GraphBatcher(train_w, cfg.gnn.batch_size),
-        GraphBatcher(val_w, cfg.gnn.batch_size),
+        train_batcher,
+        val_batcher,
         epochs=args.epochs or cfg.gnn.num_epochs,
         log_dir=log_dir,
         version=cfg.main.version,
+        writer=MetricWriter(log_dir),
     )
     print(f"train-gnn: done, checkpoints in {log_dir}")
 

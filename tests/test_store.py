@@ -84,3 +84,57 @@ def test_native_budget_check(tmp_path, scene_windows):
     with pytest.raises(ValueError):
         store.fill_padded_batch([0], 2, 2)
     store.close()
+
+
+def test_store_batcher_matches_memory_batcher(tmp_path, scene_windows):
+    """StoreGraphBatcher batches must carry the same per-window content as
+    the in-memory GraphBatcher."""
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from batch3dmot_tpu.train.data import GraphBatcher
+    from batch3dmot_tpu.train.store_data import StoreGraphBatcher
+
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path))
+    buckets = ((64, 256),)
+
+    sb = StoreGraphBatcher([path], batch_size=2, buckets=buckets, seed=0)
+    mb = GraphBatcher([w for w in windows if w.num_edges > 0], 2, buckets, seed=0)
+    assert len(sb) == len(mb)
+
+    def window_set(batcher):
+        out = {}
+        for batch in batcher.epoch(shuffle=False):
+            pose = np.asarray(batch.pose)
+            emask = np.asarray(batch.edge_mask)
+            labels = np.asarray(batch.edge_label)
+            nmask = np.asarray(batch.node_mask)
+            for b in range(pose.shape[0]):
+                n = int(nmask[b].sum())
+                if n == 0:
+                    continue
+                key = round(float(pose[b][: n].sum()), 3)
+                out[key] = (n, int(emask[b].sum()), round(float(labels[b].sum()), 3))
+        return out
+
+    assert window_set(sb) == window_set(mb)
+    sb.close()
+
+
+def test_store_batcher_training_step(tmp_path, scene_windows):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    from batch3dmot_tpu.config import GNNConfig
+    from batch3dmot_tpu.models import PoseGNN
+    from batch3dmot_tpu.train import GNNTrainer
+    from batch3dmot_tpu.train.store_data import StoreGraphBatcher
+
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path))
+    buckets = ((64, 256),)
+    batcher = StoreGraphBatcher([path], batch_size=2, buckets=buckets)
+    example = to_padded(windows[0], *buckets[0])
+    trainer = GNNTrainer(PoseGNN(depth=2), example, GNNConfig(batch_size=2))
+    metrics = trainer.train_epoch(batcher)
+    assert np.isfinite(metrics["train/loss"])
+    batcher.close()
