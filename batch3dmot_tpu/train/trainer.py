@@ -115,20 +115,32 @@ class GNNTrainer:
 
     # ---- core steps ------------------------------------------------------
 
-    def _apply(self, params, extra, batch: PaddedGraph):
+    def _apply(self, params, extra, batch):
+        """batch: PaddedGraph, or (PaddedGraph, encoding-tuple) from
+        EncodedGraphBatcher (precomputed frozen-encoder outputs)."""
         variables = {"params": params, **extra}
-        scores, _ = jax.vmap(lambda g: self.model.apply(variables, g))(batch)
+        if isinstance(batch, tuple):
+            graph, enc = batch
+            scores, _ = jax.vmap(
+                lambda g, xi, pn, rn, lp, rp: self.model.apply(
+                    variables, g, xi, pn, rn, lp, rp,
+                    method=self.model.forward_from_encodings,
+                )
+            )(graph, *enc)
+        else:
+            scores, _ = jax.vmap(lambda g: self.model.apply(variables, g))(batch)
         return scores  # [B, E]
 
-    def _loss(self, params, extra, batch: PaddedGraph):
+    def _loss(self, params, extra, batch):
         scores = self._apply(params, extra, batch)
+        graph = batch[0] if isinstance(batch, tuple) else batch
         weights = (
-            batch.edge_weight if self.cfg.loss == "cb" else jnp.ones_like(batch.edge_weight)
+            graph.edge_weight if self.cfg.loss == "cb" else jnp.ones_like(graph.edge_weight)
         )
         bce = masked_bce(
             scores.reshape(-1),
-            batch.edge_label.reshape(-1),
-            batch.edge_mask.reshape(-1),
+            graph.edge_label.reshape(-1),
+            graph.edge_mask.reshape(-1),
             weights.reshape(-1),
             from_logits=self.from_logits,
         )
@@ -155,6 +167,8 @@ class GNNTrainer:
     def _batch_metrics(
         self, metrics: Dict[str, List[float]], prefix: str, loss, scores, batch
     ) -> None:
+        if isinstance(batch, tuple):
+            batch = batch[0]
         scores = np.asarray(scores).reshape(-1)
         if self.from_logits:
             scores = 1.0 / (1.0 + np.exp(-scores))

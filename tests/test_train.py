@@ -120,3 +120,71 @@ def test_frozen_encoders_do_not_update():
     trainer.state, _, _ = trainer._train_step(trainer.state, batch)
     after = np.asarray(trainer.state.params["resnet"]["stem"]["kernel"])
     np.testing.assert_array_equal(before, after)
+
+
+def test_encoded_training_matches_raw():
+    """Precomputed-encoding training must produce the same loss and
+    gradients step as the raw-modality path (frozen encoders = constants)."""
+    import jax
+
+    from batch3dmot_tpu.train.encoded import (
+        EncodedGraphBatcher,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scene = make_synthetic_scene(
+        seed=1, num_frames=6, num_tracks=5, with_modalities=True,
+        modality_dropout=0.4,
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene as _
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    model = MultimodalGNN(depth=2)
+
+    raw_trainer = GNNTrainer(model, example, cfg, seed=0)
+    enc_trainer = GNNTrainer(model, example, cfg, seed=0)
+
+    raw_batcher = GraphBatcher(windows, 2, BUCKETS, seed=0)
+    enc = precompute_scene_encodings(model, raw_trainer.variables, scene, chunk=64)
+    enc_batcher = EncodedGraphBatcher([(w, enc) for w in windows], 2, BUCKETS, seed=0)
+
+    raw_batch = next(raw_batcher.epoch(shuffle=False))
+    enc_batch = next(enc_batcher.epoch(shuffle=False))
+
+    _, loss_raw, s_raw = raw_trainer._train_step(raw_trainer.state, raw_batch)
+    _, loss_enc, s_enc = enc_trainer._train_step(enc_trainer.state, enc_batch)
+    assert float(loss_raw) == pytest.approx(float(loss_enc), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_raw), np.asarray(s_enc), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_encoded_training_learns():
+    from batch3dmot_tpu.train.encoded import (
+        EncodedGraphBatcher,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    model = MultimodalGNN(depth=2)
+    items = []
+    example = None
+    trainer = None
+    for seed in range(2):
+        scene = make_synthetic_scene(
+            seed=seed, num_frames=6, num_tracks=5, with_modalities=True
+        )
+        windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+        if example is None:
+            example = to_padded(windows[0], *BUCKETS[0])
+            trainer = GNNTrainer(
+                model, example, GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+            )
+        enc = precompute_scene_encodings(model, trainer.variables, scene, chunk=64)
+        items.extend((w, enc) for w in windows)
+    batcher = EncodedGraphBatcher(items, 2, BUCKETS)
+    hist = trainer.fit(batcher, epochs=4, verbose=False)
+    assert hist[-1]["train/loss"] < hist[0]["train/loss"]
