@@ -1,0 +1,182 @@
+"""Fully-fused device inference: graph construction + encoding + scoring in
+ONE jitted program per scene.
+
+The reference pipeline round-trips through the filesystem between every
+stage (SURVEY.md §1: "control flow between layers is entirely through the
+filesystem"). Here a scene goes device-side once: the sliding-window graphs
+are built by :func:`graphs.build_device.build_windows_device`, every
+detection is encoded once, and all window forwards run inside the same XLA
+program — the host only receives the final per-edge scores (plus the
+detection-index pairs needed for cross-window averaging).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from batch3dmot_tpu.config import Config, GraphConstructionConfig
+from batch3dmot_tpu.data.types import SceneDetections
+from batch3dmot_tpu.graph import (
+    IMG_SHAPE,
+    LIDAR_SHAPE,
+    RADAR_SHAPE,
+    PaddedGraph,
+)
+from batch3dmot_tpu.graphs.build_device import build_windows_device
+
+
+class DeviceScenePipeline:
+    """scene arrays -> per-edge scores, one XLA program per shape bucket."""
+
+    def __init__(self, model, variables, window_len: int, k: int):
+        self.model = model
+        self.variables = variables
+        self.window_len = window_len
+        self.k = k
+        self._compiled: Dict[Tuple[int, int, int], callable] = {}
+
+    def _get_fn(self, m_pad: int, num_windows: int, max_nodes: int):
+        key = (m_pad, num_windows, max_nodes)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        model, variables = self.model, self.variables
+        window_len, k = self.window_len, min(self.k, max_nodes)
+
+        @jax.jit
+        def run(frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
+                wlh, class_id, score, token_id, det_mask, img, lidar, radar):
+            g = build_windows_device(
+                frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
+                wlh, class_id, score, token_id, det_mask,
+                jnp.arange(num_windows, dtype=jnp.int32),
+                window_len=window_len, k=k, max_nodes=max_nodes,
+            )
+            x_img, pn, rn = model.apply(
+                variables, img, lidar, radar, method=model.encode_frozen
+            )
+            lp = lidar.sum(axis=(1, 2)) != 0
+            rp = radar.sum(axis=(1, 2)) != 0
+
+            n = max_nodes
+            dummy = jnp.zeros((n, 0, 0, 0), jnp.float32)
+
+            def one(w):
+                graph = PaddedGraph(
+                    pose=g["pose"][w],
+                    img=dummy,  # unused by forward_from_encodings
+                    lidar=dummy,
+                    radar=dummy,
+                    node_time=g["node_time"][w],
+                    node_class=g["node_class"][w],
+                    node_mask=g["node_mask"][w],
+                    edge_src=g["edge_src"][w],
+                    edge_dst=g["edge_dst"][w],
+                    edge_attr=g["edge_attr"][w],
+                    edge_mask=g["edge_mask"][w],
+                    edge_label=g["edge_label"][w],
+                    edge_weight=g["edge_weight"][w],
+                )
+                di = g["det_index"][w]
+                scores, _ = model.apply(
+                    variables, graph, x_img[di], pn[di], rn[di], lp[di], rp[di],
+                    method=model.forward_from_encodings,
+                )
+                return scores
+
+            scores = jax.vmap(one)(jnp.arange(num_windows))
+            # global (src, dst) detection indices per edge for host averaging
+            det = g["det_index"]
+            gsrc = jnp.take_along_axis(det, g["edge_src"], axis=1)
+            gdst = jnp.take_along_axis(det, g["edge_dst"], axis=1)
+            return scores, gsrc, gdst, g["edge_mask"]
+
+        self._compiled[key] = run
+        return run
+
+    def score_scene(
+        self, scene: SceneDetections
+    ) -> Dict[Tuple[int, int], float]:
+        """Cross-window-averaged edge scores keyed by scene detection
+        indices (equivalent to infer.predict.average_scene_edges over the
+        host pipeline's windows)."""
+        m = scene.num_detections
+        num_windows = scene.num_frames - self.window_len + 1
+        if m == 0 or num_windows <= 0:
+            return {}
+        assert np.all(np.diff(scene.frame_idx) >= 0)
+
+        counts = np.bincount(scene.frame_idx, minlength=scene.num_frames)
+        max_nodes = max(
+            int(counts[s : s + self.window_len].sum()) for s in range(num_windows)
+        )
+        max_nodes = max(32, -(-max_nodes // 32) * 32)
+        m_pad = -(-m // 64) * 64
+
+        pad1 = lambda a, v=0: np.pad(a, (0, m_pad - m), constant_values=v)
+        pad2 = lambda a: np.pad(a, ((0, m_pad - m), (0, 0)))
+
+        def padm(a, tail):
+            buf = np.zeros((m_pad, *tail), np.float32)
+            if a is not None:
+                buf[:m] = a
+            return jnp.asarray(buf)
+
+        run = self._get_fn(m_pad, num_windows, max_nodes)
+        scores, gsrc, gdst, emask = run(
+            jnp.asarray(pad1(scene.frame_idx.astype(np.int32))),
+            jnp.asarray(pad2(scene.center_g.astype(np.float32))),
+            jnp.asarray(pad1(scene.yaw_g.astype(np.float32))),
+            jnp.asarray(pad2(scene.vel_g.astype(np.float32))),
+            jnp.asarray(pad2(scene.center_e.astype(np.float32))),
+            jnp.asarray(pad1(scene.yaw_e.astype(np.float32))),
+            jnp.asarray(pad2(scene.vel_e.astype(np.float32))),
+            jnp.asarray(pad2(scene.wlh.astype(np.float32))),
+            jnp.asarray(pad1(scene.class_id.astype(np.int32))),
+            jnp.asarray(pad1(scene.score.astype(np.float32))),
+            jnp.asarray(pad1(scene.token_id.astype(np.int32), -1)),
+            jnp.asarray(pad1(np.ones(m, bool), False)),
+            padm(scene.img, IMG_SHAPE),
+            padm(scene.lidar, LIDAR_SHAPE),
+            padm(scene.radar, RADAR_SHAPE),
+        )
+        scores = np.asarray(scores)
+        gsrc = np.asarray(gsrc)
+        gdst = np.asarray(gdst)
+        emask = np.asarray(emask)
+
+        acc: Dict[Tuple[int, int], List[float]] = {}
+        for w in range(num_windows):
+            sel = emask[w]
+            for a, b, v in zip(
+                gsrc[w][sel].tolist(), gdst[w][sel].tolist(), scores[w][sel].tolist()
+            ):
+                acc.setdefault((a, b), []).append(v)
+        return {kv: float(np.mean(vs)) for kv, vs in acc.items()}
+
+
+def predict_scene_device(
+    model,
+    variables,
+    scene: SceneDetections,
+    cfg: Optional[Config] = None,
+    window_len: Optional[int] = None,
+):
+    """Full device-pipeline analogue of :func:`infer.predict.predict_scene`."""
+    from batch3dmot_tpu.config import DEFAULT_EDGE_SCORE_THRESHOLDS
+    from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
+
+    gc = cfg.graph_construction if cfg else GraphConstructionConfig()
+    wl = window_len or (cfg.predict.batch_size_graph if cfg else 2)
+    pipeline = DeviceScenePipeline(model, variables, wl, gc.top_knn_nodes)
+    avg = pipeline.score_scene(scene)
+    thresholds = (
+        cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
+    )
+    kept = threshold_edges(avg, scene, thresholds)
+    return greedy_round(kept), avg

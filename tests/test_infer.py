@@ -209,3 +209,37 @@ def test_scene_encoded_scorer_matches_plain():
 
     for a, b in zip(plain_scores, scene_scores):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_device_pipeline_matches_host_path():
+    """Fused on-device build+encode+score must reproduce the host pipeline's
+    cross-window-averaged edge scores."""
+    import jax
+
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.infer.predict import (
+        average_scene_edges,
+        make_scene_encoded_scorer,
+    )
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scene = make_synthetic_scene(
+        seed=7, num_frames=6, num_tracks=4, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(jax.random.key(0), to_padded(windows[0], *BUCKETS[0]))
+
+    scorer = make_scene_encoded_scorer(model, variables)
+    host_scores = scorer.score_scene(scene, windows, windows_per_batch=4, buckets=BUCKETS)
+    host_avg = average_scene_edges(windows, host_scores)
+
+    pipeline = DeviceScenePipeline(model, variables, window_len=3, k=4)
+    dev_avg = pipeline.score_scene(scene)
+
+    assert set(host_avg) == set(dev_avg)
+    for key in host_avg:
+        assert abs(host_avg[key] - dev_avg[key]) < 1e-4, key
