@@ -76,6 +76,13 @@ def cmd_build_graphs(args) -> None:
         scenes = _load_nuscenes_scenes(cfg)
 
     for scene in scenes:
+        # idempotent / restartable per scene (the reference resumes by
+        # hand-slicing the scene list, SURVEY.md §5)
+        out_path = os.path.join(
+            out_dir, f"{scene.scene_token}_len{window_len}.b3d"
+        )
+        if getattr(args, "skip_existing", False) and os.path.exists(out_path):
+            continue
         windows = list(
             build_scene_graphs(scene, window_len, cfg.graph_construction)
         )
@@ -451,6 +458,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p = common(sub.add_parser("build-graphs"))
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic scenes instead of nuScenes")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip scenes whose store already exists (resume)")
     p.set_defaults(fn=cmd_build_graphs)
 
     p = common(sub.add_parser("train-gnn"))

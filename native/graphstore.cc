@@ -138,8 +138,6 @@ void fill_slot(const Store* s, int win, int slot, int max_nodes, int max_edges,
   const int e = b3d_num_edges(const_cast<Store*>(s), win);
 
   auto cp = [&](int arr, void* dst, size_t row_bytes, int rows, size_t max_rows) {
-    const Entry& en = s->entry(const_cast<Store*>(s) == s ? win : win, arr);
-    (void)en;
     memcpy(static_cast<uint8_t*>(dst) + slot * max_rows * row_bytes,
            s->data(win, arr), rows * row_bytes);
   };

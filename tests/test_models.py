@@ -157,3 +157,11 @@ def test_mm_gnn_param_widths(mm_setup):
     assert params["fc_radar_encoder"]["dense_2"]["kernel"].shape == (128, 64)
     assert params["edge_encoder"]["dense_0"]["kernel"].shape == (4, 16)
     assert params["node_encoder"]["dense_1"]["kernel"].shape == (48, 96)
+
+
+def test_mm_gnn_knn_active_mode_runs(mm_setup):
+    _, _, g, _ = mm_setup
+    model = MultimodalGNN(depth=2, knn_conv_mode="active", knn_conv_k=4)
+    variables = model.init(jax.random.key(1), g)
+    scores, _ = model.apply(variables, g)
+    assert np.isfinite(np.asarray(scores)).all()
