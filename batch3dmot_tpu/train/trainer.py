@@ -252,6 +252,39 @@ class GNNTrainer:
     def variables(self) -> Dict[str, Any]:
         return {"params": self.state.params, **self.state.extra_variables}
 
+    # ---- full-state checkpointing (resume with optimizer moments) --------
+
+    def save_state(self, path: str) -> str:
+        """Checkpoint params + frozen collections + optimizer state + step,
+        so training resumes exactly (the reference only resumes model
+        weights via strict=False, train.py:72-75)."""
+        return save_checkpoint(
+            path,
+            {
+                "variables": self.variables,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
+        )
+
+    def load_state(self, path: str) -> None:
+        from batch3dmot_tpu.utils.checkpoint import load_checkpoint
+
+        template = {
+            "variables": self.variables,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = load_checkpoint(path, template)
+        variables = dict(restored["variables"])
+        params = variables.pop("params")
+        self.state = self.state.replace(
+            params=params,
+            extra_variables=variables,
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
 
 def _nanmean_metrics(metrics: Dict[str, List[float]]) -> Dict[str, float]:
     with warnings.catch_warnings():
