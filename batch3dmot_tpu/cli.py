@@ -24,7 +24,6 @@ import argparse
 import glob
 import json
 import os
-import sys
 import time
 from typing import List, Optional
 

@@ -22,11 +22,11 @@ from __future__ import annotations
 import json
 import os
 from functools import cached_property
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from batch3dmot_tpu import geometry as geo
+
 from batch3dmot_tpu.config import CATEGORY_TO_TRACKING_NAME, TRACKING_CLASSES
 from batch3dmot_tpu.data.detections import FrameBoxes
 

@@ -23,7 +23,6 @@ explicit ``augment=`` option applied at dataset load time instead
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict, Iterator, List, Optional, Tuple
 

@@ -29,7 +29,7 @@ treat that distance component as uniformly 0 instead (the analytic limit).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 

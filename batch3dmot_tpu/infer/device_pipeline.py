@@ -12,7 +12,6 @@ detection-index pairs needed for cross-window averaging).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax

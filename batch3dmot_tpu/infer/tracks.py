@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from batch3dmot_tpu import geometry as geo
-from batch3dmot_tpu.config import Config, DEFAULT_EDGE_SCORE_THRESHOLDS
+from batch3dmot_tpu.config import DEFAULT_EDGE_SCORE_THRESHOLDS
 from batch3dmot_tpu.data.types import SceneDetections
 
 

@@ -16,7 +16,7 @@ a BatchNorm crash guard. Frozen-means-frozen is the deliberate fix here
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

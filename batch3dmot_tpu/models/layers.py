@@ -5,7 +5,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
+
 from flax import linen as nn
 
 from batch3dmot_tpu.ops import segment_softmax, segment_sum

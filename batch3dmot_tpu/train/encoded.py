@@ -11,7 +11,7 @@ fc_lidar/fc_radar projections, attention, message passing — are untouched).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ split-keyed annotation JSONs, used to assemble mini detection files)."""
 from __future__ import annotations
 
 import json
-from typing import Dict, List
+from typing import Dict
 
 
 def merge_split_keyed(a: Dict[str, list], b: Dict[str, list]) -> Dict[str, list]:

@@ -73,7 +73,6 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
         pad_graph,
     )
     from batch3dmot_tpu.models import MultimodalGNN
-    from batch3dmot_tpu.train.data import to_padded
 
     max_nodes, max_edges = 128, 1024
     model = MultimodalGNN()
