@@ -40,9 +40,21 @@ from batch3dmot_tpu.graph import (
 from batch3dmot_tpu.train.data import to_padded
 
 
-def make_scorer(model, variables) -> Callable:
-    """A jitted batched scorer: PaddedGraph[B, ...] -> scores [B, E]."""
+def make_scorer(model, variables, mesh=None) -> Callable:
+    """A jitted batched scorer: PaddedGraph[B, ...] -> scores [B, E].
+
+    With ``mesh`` the window batch dimension is sharded across the data axis
+    (multi-chip inference; params replicated, no collectives needed — each
+    device scores its window shard independently over ICI-free SPMD).
+    """
     from_logits = type(model).__name__ == "PoseGNN"
+
+    shard = None
+    if mesh is not None:
+        from batch3dmot_tpu.parallel import replicate, shard_batch_fn
+
+        variables = replicate(variables, mesh)
+        shard = shard_batch_fn(mesh)
 
     @jax.jit
     def run(batch):
@@ -51,7 +63,9 @@ def make_scorer(model, variables) -> Callable:
             scores = jax.nn.sigmoid(scores)
         return scores
 
-    return run
+    if shard is None:
+        return run
+    return lambda batch: run(shard(batch))
 
 
 def make_scene_encoded_scorer(model, variables) -> "SceneEncodedScorer":

@@ -74,3 +74,28 @@ def test_sharded_epoch_runs():
     batcher = GraphBatcher(windows, batch_size=8, buckets=BUCKETS)
     metrics = trainer.train_epoch(batcher)
     assert np.isfinite(metrics["train/loss"])
+
+
+def test_sharded_inference_matches_single_device():
+    from batch3dmot_tpu.infer.predict import make_scorer, score_windows
+
+    windows = _windows()
+    example_windows = [w for w in windows if w.num_edges > 0][:8]
+    import jax
+
+    from batch3dmot_tpu.train.data import to_padded
+
+    model = PoseGNN(depth=2)
+    variables = model.init(
+        jax.random.key(0), to_padded(example_windows[0], *BUCKETS[0])
+    )
+
+    plain = make_scorer(model, variables)
+    s_plain = score_windows(plain, example_windows, windows_per_batch=8, buckets=BUCKETS)
+
+    mesh = make_mesh(8)
+    sharded = make_scorer(model, variables, mesh=mesh)
+    s_shard = score_windows(sharded, example_windows, windows_per_batch=8, buckets=BUCKETS)
+
+    for a, b in zip(s_plain, s_shard):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
