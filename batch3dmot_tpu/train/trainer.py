@@ -76,7 +76,7 @@ class GNNTrainer:
         self.from_logits = from_logits
         self.shard_batch = shard_batch or (lambda x: x)
 
-        variables = init_variables or model.init(
+        variables = init_variables or jax.jit(model.init)(
             jax.random.key(seed), example_graph
         )
         variables = dict(variables)
