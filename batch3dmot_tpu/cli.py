@@ -102,7 +102,9 @@ def _load_nuscenes_scenes(cfg: Config):
     from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
 
     tables = NuScenesTables(cfg.paths.data, cfg.main.version)
-    split_key = cfg.graph_construction.__dict__.get("split", "train")
+    split_key = (
+        "mini" if cfg.main.version == "v1.0-mini" else cfg.graph_construction.split
+    )
     det_path = (
         cfg.detections.get(cfg.main.detections, {}).get(split_key)
         if cfg.detections
@@ -386,6 +388,37 @@ def _scene_stub_from_store(path: str, windows):
     )
 
 
+def cmd_export_gt(args) -> None:
+    """Export GT tracking boxes from the nuScenes tables into the JSON the
+    native evaluator consumes ({"boxes": [...]}) — lets `eval` run without
+    the devkit."""
+    cfg = _load_config(args)
+    from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
+
+    from batch3dmot_tpu.config import TRACKING_CLASSES
+
+    tables = NuScenesTables(cfg.paths.data, cfg.main.version)
+    id2name = {v: k for k, v in TRACKING_CLASSES.items()}
+    boxes = []
+    frames = []
+    for scene in tables.scenes:
+        for tok in tables.scene_sample_tokens(scene["token"]):
+            frames.append(tok)
+            gt = tables.gt_frame_boxes(tok)
+            for i in range(len(gt)):
+                boxes.append(
+                    {
+                        "sample_token": tok,
+                        "translation": gt.center[i].tolist(),
+                        "tracking_name": id2name[int(gt.class_id[i])],
+                        "instance": gt.instance[i],
+                    }
+                )
+    with open(args.out, "w") as f:
+        json.dump({"boxes": boxes, "frames": frames}, f)
+    print(f"export-gt: {len(boxes)} boxes over {len(frames)} frames -> {args.out}")
+
+
 def cmd_eval(args) -> None:
     from batch3dmot_tpu.eval.tracking_metrics import evaluate_tracking
 
@@ -480,6 +513,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--model", choices=["pose", "mm"], default="mm")
     p.set_defaults(fn=cmd_predict)
+
+    p = common(sub.add_parser("export-gt"))
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export_gt)
 
     p = common(sub.add_parser("eval"))
     p.add_argument("--submission", required=True)

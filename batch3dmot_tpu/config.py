@@ -191,6 +191,9 @@ class GraphConstructionConfig:
     match_method: str = "center_dist"
     match_dist_thresh: float = 2.0
     match_iou_thresh: float = 0.0
+    # Which split's detection JSON to build graphs from (reference
+    # cl_config.yaml:75); v1.0-mini uses the 'mini' detection file.
+    split: str = "train"
 
 
 @dataclass
