@@ -43,6 +43,15 @@ def _store_dir(cfg: Config) -> str:
     return cfg.paths.graphs_dir
 
 
+def _active_modalities(cfg: Config):
+    """Sensor subset from main.sensors_used — the graduated config family
+    (poses-only / +camera / +lidar / full multimodal, BASELINE.md)."""
+    mods = tuple(
+        m for m in ("img", "lidar", "radar") if cfg.main.sensors_used.get(m)
+    )
+    return mods or ("img", "lidar", "radar")
+
+
 def _build_synthetic_scenes(cfg: Config, num_scenes: int, with_mods: bool):
     from batch3dmot_tpu.data.synthetic import make_synthetic_scene
 
@@ -165,6 +174,7 @@ def cmd_train_gnn(args) -> None:
             depth=cfg.gnn.gnn_depth,
             use_attention=cfg.gnn.attention,
             knn_conv_mode=cfg.gnn.knn_conv_mode,
+            modalities=_active_modalities(cfg),
         )
 
     first = GraphStoreReader(store_paths[0]).window(0)
@@ -274,6 +284,7 @@ def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
             depth=cfg.gnn.gnn_depth,
             use_attention=cfg.gnn.attention,
             knn_conv_mode=cfg.gnn.knn_conv_mode,
+            modalities=_active_modalities(cfg),
         )
     )
 

@@ -124,21 +124,33 @@ class MultimodalGNN(nn.Module):
     # Frozen encoders (reference sets requires_grad=False on all three,
     # clr_att_gnn.py:26-33); stop_gradient also skips their backward pass.
     freeze_encoders: bool = True
+    # Active sensor subset — covers the reference's graduated model family
+    # (pose_gnn < cl_att_gnn [img+lidar, the missing module predict.py
+    # instantiates] < clr_att_gnn [full]). Disabled modalities contribute
+    # neither encoders nor attention blocks; the att_edge_encoder input
+    # shrinks accordingly.
+    modalities: Tuple[str, ...] = ("img", "lidar", "radar")
 
     def setup(self) -> None:
-        self.resnet = ResNetAE()
-        self.pointnet = PointNetClassifier(self.num_classes)
-        self.radarnet = RadarNetClassifier(self.num_classes)
+        if "img" in self.modalities:
+            self.resnet = ResNetAE()
+        if "lidar" in self.modalities:
+            self.pointnet = PointNetClassifier(self.num_classes)
+            self.fc_lidar_encoder = MLP((192, self.lidar_dim))
+        if "radar" in self.modalities:
+            self.radarnet = RadarNetClassifier(self.num_classes)
+            self.fc_radar_encoder = MLP((192, 128, self.radar_dim))
 
         self.edge_encoder = MLP((16, 32, self.edge_dim))
         self.node_encoder = MLP((48, self.node_dim))
         self.edge_classifier = MLP((32, 16, 8, 1))
-        self.fc_lidar_encoder = MLP((192, self.lidar_dim))
-        self.fc_radar_encoder = MLP((192, 128, self.radar_dim))
 
-        self.c2c_att = SingleTokenAttention(self.img_dim)
-        self.l2l_att = SingleTokenAttention(self.lidar_dim)
-        self.r2r_att = SingleTokenAttention(self.radar_dim)
+        if "img" in self.modalities:
+            self.c2c_att = SingleTokenAttention(self.img_dim)
+        if "lidar" in self.modalities:
+            self.l2l_att = SingleTokenAttention(self.lidar_dim)
+        if "radar" in self.modalities:
+            self.r2r_att = SingleTokenAttention(self.radar_dim)
 
         # 640 = 2 * (radar 64 + lidar 128 + img 96) + edge 64 with attention;
         # the no-attention ablation concatenates [img_i, lidar_i, img_j,
@@ -163,10 +175,24 @@ class MultimodalGNN(nn.Module):
         Returns raw (x_img [., 96], pointnet_256, radarnet_256) — presence
         gating and the trainable projection heads happen in
         :meth:`forward_from_encodings` so this output is checkpoint-stable.
+        Disabled modalities return zeros.
         """
-        x_img = self.resnet.encode(img)
-        pn = self.pointnet.feat_256(lidar)
-        rn = self.radarnet.feat_256(radar)
+        n = img.shape[0]
+        x_img = (
+            self.resnet.encode(img)
+            if "img" in self.modalities
+            else jnp.zeros((n, self.img_dim))
+        )
+        pn = (
+            self.pointnet.feat_256(lidar)
+            if "lidar" in self.modalities
+            else jnp.zeros((n, 256))
+        )
+        rn = (
+            self.radarnet.feat_256(radar)
+            if "radar" in self.modalities
+            else jnp.zeros((n, 256))
+        )
         if self.freeze_encoders:
             x_img = jax.lax.stop_gradient(x_img)
             pn = jax.lax.stop_gradient(pn)
@@ -191,34 +217,51 @@ class MultimodalGNN(nn.Module):
         radar_present: jax.Array,  # reference's per-node loop (:107-121)
     ) -> Tuple[jax.Array, jax.Array]:
         src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
+        has = lambda m: m in self.modalities
 
         edge_attr = self.edge_encoder(g.edge_attr)
 
-        x_lidar = jnp.where(
-            lidar_present[:, None], self.fc_lidar_encoder(pn), 0.0
+        n = x_img.shape[0]
+        x_lidar = (
+            jnp.where(lidar_present[:, None], self.fc_lidar_encoder(pn), 0.0)
+            if has("lidar")
+            else jnp.zeros((n, self.lidar_dim))
         )
-        x_radar = jnp.where(
-            radar_present[:, None], self.fc_radar_encoder(rn), 0.0
+        x_radar = (
+            jnp.where(radar_present[:, None], self.fc_radar_encoder(rn), 0.0)
+            if has("radar")
+            else jnp.zeros((n, self.radar_dim))
         )
 
         if self.use_attention:
-            att_j_img = self.c2c_att(x_img[src])
-            att_i_img = self.c2c_att(x_img[dst])
-            att_j_lid = self.l2l_att(x_lidar[src])
-            att_i_lid = self.l2l_att(x_lidar[dst])
-            att_j_rad = self.r2r_att(x_radar[src])
-            att_i_rad = self.r2r_att(x_radar[dst])
-            x_sens_j = jnp.concatenate([att_j_rad, att_j_lid, att_j_img], axis=1)
-            x_sens_i = jnp.concatenate([att_i_rad, att_i_lid, att_i_img], axis=1)
+            # concat order matches the reference: radar, lidar, img (:161)
+            blocks_j, blocks_i = [], []
+            if has("radar"):
+                blocks_j.append(self.r2r_att(x_radar[src]))
+                blocks_i.append(self.r2r_att(x_radar[dst]))
+            if has("lidar"):
+                blocks_j.append(self.l2l_att(x_lidar[src]))
+                blocks_i.append(self.l2l_att(x_lidar[dst]))
+            if has("img"):
+                blocks_j.append(self.c2c_att(x_img[src]))
+                blocks_i.append(self.c2c_att(x_img[dst]))
+            x_sens_j = jnp.concatenate(blocks_j, axis=1)
+            x_sens_i = jnp.concatenate(blocks_i, axis=1)
             att_edge_attr = self.att_edge_encoder(
                 jnp.concatenate([x_sens_i, x_sens_j, edge_attr], axis=1)
             )
         else:
+            parts = []
+            if has("img"):
+                parts += [x_img[dst]]
+            if has("lidar"):
+                parts += [x_lidar[dst]]
+            if has("img"):
+                parts += [x_img[src]]
+            if has("lidar"):
+                parts += [x_lidar[src]]
             att_edge_attr = self.att_edge_encoder(
-                jnp.concatenate(
-                    [x_img[dst], x_lidar[dst], x_img[src], x_lidar[src], edge_attr],
-                    axis=1,
-                )
+                jnp.concatenate(parts + [edge_attr], axis=1)
             )
 
         x_sens = jnp.concatenate([x_img, x_lidar, x_radar], axis=1)

@@ -165,3 +165,25 @@ def test_mm_gnn_knn_active_mode_runs(mm_setup):
     variables = model.init(jax.random.key(1), g)
     scores, _ = model.apply(variables, g)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+@pytest.mark.parametrize("mods,att_in", [
+    (("img", "lidar"), 2 * (96 + 128) + 64),   # the missing cl_att_gnn family
+    (("img",), 2 * 96 + 64),
+])
+def test_mm_gnn_modality_subsets(mm_setup, mods, att_in):
+    _, _, g, _ = mm_setup
+    model = MultimodalGNN(depth=2, modalities=mods)
+    variables = model.init(jax.random.key(2), g)
+    params = variables["params"]
+    assert params["att_edge_encoder"]["dense_0"]["kernel"].shape[0] == att_in
+    assert ("radarnet" in params) == ("radar" in mods)
+    assert ("pointnet" in params) == ("lidar" in mods)
+    scores, x_sens = model.apply(variables, g)
+    assert np.isfinite(np.asarray(scores)).all()
+    # disabled modality blocks of x_sens are zero
+    x_sens = np.asarray(x_sens)
+    if "radar" not in mods:
+        assert (x_sens[:, 224:] == 0).all()
+    if "lidar" not in mods:
+        assert (x_sens[:, 96:224] == 0).all()
