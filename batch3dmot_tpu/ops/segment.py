@@ -67,13 +67,13 @@ def segment_sum(
         )
     elif method == "xla_scatter":
         if mask is not None:
+            # park masked edges in an extra segment that is sliced away
             data = data * mask.astype(data.dtype)[:, None]
-            ids = jnp.where(mask, ids, num_segments)  # park padding out of range
-        out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)[
-            :num_segments
-        ] if mask is not None else jax.ops.segment_sum(
-            data, ids, num_segments=num_segments
-        )
+            ids = jnp.where(mask, ids, num_segments)
+            out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
+            out = out[:num_segments]
+        else:
+            out = jax.ops.segment_sum(data, ids, num_segments=num_segments)
     else:
         raise ValueError(f"Unknown segment_sum method '{method}'")
     return out[:, 0] if squeeze else out

@@ -1,0 +1,124 @@
+"""Flagship synthetic run on the real TPU: full multimodal pipeline at
+moderate scale. Trains the MultimodalGNN with precomputed encodings, predicts
+held-out scenes with the encode-once scorer, and scores AMOTA with the native
+evaluator. Results land in docs/RESULTS.md.
+
+Usage: python scripts/flagship_synthetic.py [--epochs 8] [--scenes 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=12)
+    ap.add_argument("--val-scenes", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--tracks", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+
+    from batch3dmot_tpu.config import GNNConfig, GraphConstructionConfig
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.eval.tracking_metrics import (
+        evaluate_tracking,
+        gt_boxes_from_scene,
+    )
+    from batch3dmot_tpu.graphs import build_scene_graphs
+    from batch3dmot_tpu.infer.predict import make_scene_encoded_scorer, predict_scene
+    from batch3dmot_tpu.infer.tracks import (
+        all_scene_sample_tokens,
+        hierarchical_clusters,
+        scene_results,
+    )
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.train import GNNTrainer
+    from batch3dmot_tpu.train.data import to_padded
+    from batch3dmot_tpu.train.encoded import (
+        EncodedGraphBatcher,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=8, batch_size_graph=3)
+    buckets = ((128, 1024),)
+
+    print(f"building {args.scenes}+{args.val_scenes} scenes ...", flush=True)
+    t0 = time.time()
+    model = MultimodalGNN(depth=args.depth)
+    trainer = None
+    train_items = []
+    val_scenes = []
+    for seed in range(args.scenes + args.val_scenes):
+        scene = make_synthetic_scene(
+            seed=seed,
+            num_frames=args.frames,
+            num_tracks=args.tracks,
+            with_modalities=True,
+            modality_dropout=0.25,
+        )
+        windows = [
+            w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0
+        ]
+        if trainer is None:
+            example = to_padded(windows[0], *buckets[0])
+            trainer = GNNTrainer(
+                model,
+                example,
+                GNNConfig(lr=1e-3, weight_decay=1e-4, batch_size=8, loss="cb"),
+            )
+        if seed < args.scenes:
+            enc = precompute_scene_encodings(model, trainer.variables, scene)
+            train_items.extend((w, enc) for w in windows)
+        else:
+            val_scenes.append((scene, windows))
+    print(f"  data ready in {time.time()-t0:.1f}s: {len(train_items)} train windows", flush=True)
+
+    batcher = EncodedGraphBatcher(train_items, batch_size=8, buckets=buckets)
+    t0 = time.time()
+    history = trainer.fit(batcher, epochs=args.epochs, verbose=True)
+    train_time = time.time() - t0
+    steps = len(batcher) * args.epochs
+    print(f"training: {train_time:.1f}s for {steps} steps "
+          f"({steps/train_time:.1f} steps/s)", flush=True)
+
+    scorer = make_scene_encoded_scorer(model, trainer.variables)
+    gt_boxes, pred_boxes, frames = [], [], []
+    t0 = time.time()
+    n_edges = 0
+    for scene, windows in val_scenes:
+        pred_edges, _ = predict_scene(scorer, scene, windows, windows_per_batch=8)
+        cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
+        tracks = hierarchical_clusters(pred_edges, cats)
+        results = scene_results(tracks, scene)
+        pred_boxes.extend(b for boxes in results.values() for b in boxes)
+        gt_boxes.extend(gt_boxes_from_scene(scene))
+        frames.extend(all_scene_sample_tokens(scene))
+        n_edges += sum(w.num_edges for w in windows)
+    infer_time = time.time() - t0
+
+    res = evaluate_tracking(gt_boxes, pred_boxes, frames)
+    print(res.summary())
+    summary = {
+        "train_windows": len(train_items),
+        "epochs": args.epochs,
+        "final_train_ap": history[-1]["train/avgprec"],
+        "steps_per_s": steps / train_time,
+        "inference_edges": n_edges,
+        "inference_s": infer_time,
+        "amota": res.amota,
+        "amotp": res.amotp,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
