@@ -100,10 +100,19 @@ def pad_graph(
     edge_label: Optional[np.ndarray] = None,
     edge_weight: Optional[np.ndarray] = None,
     dtype=np.float32,
+    include_modalities: bool = True,
 ) -> PaddedGraph:
-    """Pad raw per-window numpy arrays into a :class:`PaddedGraph`."""
+    """Pad raw per-window numpy arrays into a :class:`PaddedGraph`.
+
+    ``include_modalities=False`` stores zero-size [N, 0, 0, 0] modality
+    placeholders — for the precomputed-encoding and device-pipeline paths
+    that never read g.img/lidar/radar, full-size zero arrays would otherwise
+    dominate host->device traffic.
+    """
     n = pose.shape[0]
     e = edge_src.shape[0]
+    if not include_modalities:
+        img = lidar = radar = np.zeros((n, 0, 0, 0), dtype)
     if img is None:
         img = np.zeros((n, *IMG_SHAPE), dtype)
     if lidar is None:
@@ -145,10 +154,14 @@ def batch_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
 
 
 def empty_graph(
-    max_nodes: int, max_edges: int, dtype=np.float32
+    max_nodes: int,
+    max_edges: int,
+    dtype=np.float32,
+    include_modalities: bool = True,
 ) -> PaddedGraph:
     """An all-padding graph (used to fill incomplete window batches)."""
     return pad_graph(
+        include_modalities=include_modalities,
         pose=np.zeros((0, POSE_DIM), dtype),
         edge_src=np.zeros((0,), np.int32),
         edge_dst=np.zeros((0,), np.int32),

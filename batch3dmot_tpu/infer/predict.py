@@ -164,13 +164,14 @@ class SceneEncodedScorer:
                             edge_attr=w.edge_attr, node_time=w.node_time,
                             node_class=w.node_class, max_nodes=mn, max_edges=me,
                             edge_label=w.edge_label, edge_weight=w.edge_weight,
+                            include_modalities=False,
                         )
                     )
                     di = np.zeros(mn, np.int32)
                     di[: w.num_nodes] = w.det_index
                     dets.append(di)
                 while len(graphs) < windows_per_batch:
-                    graphs.append(empty_graph(mn, me))
+                    graphs.append(empty_graph(mn, me, include_modalities=False))
                     dets.append(np.zeros(mn, np.int32))
                 scores = np.asarray(
                     self._fwd(

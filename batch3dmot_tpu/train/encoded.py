@@ -140,6 +140,7 @@ class EncodedGraphBatcher:
                         edge_attr=w.edge_attr, node_time=w.node_time,
                         node_class=w.node_class, max_nodes=mn, max_edges=me,
                         edge_label=w.edge_label, edge_weight=w.edge_weight,
+                        include_modalities=False,
                     )
                 )
                 n = w.num_nodes
@@ -150,7 +151,7 @@ class EncodedGraphBatcher:
                 lp[slot, :n] = enc["lidar_present"][di]
                 rp[slot, :n] = enc["radar_present"][di]
             while len(graphs) < self.batch_size:
-                graphs.append(empty_graph(mn, me))
+                graphs.append(empty_graph(mn, me, include_modalities=False))
             enc_batch = tuple(
                 jnp.asarray(a) for a in (xi, pn, rn, lp, rp)
             )

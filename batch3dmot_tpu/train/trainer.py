@@ -112,6 +112,7 @@ class GNNTrainer:
         )
         self._train_step = jax.jit(self._step, donate_argnums=0)
         self._eval_step = jax.jit(self._forward_metrics)
+        self._multi_step = jax.jit(self._scan_steps, donate_argnums=0)
 
     # ---- core steps ------------------------------------------------------
 
@@ -162,6 +163,19 @@ class GNNTrainer:
         loss, scores = self._loss(state.params, state.extra_variables, batch)
         return loss, scores
 
+    def _scan_steps(self, state: TrainState, batches):
+        """K fused optimizer steps in one XLA program (batches have a
+        leading K dimension). One dispatch instead of K — dispatch latency
+        dominates small-model training, catastrophically so through a
+        remote-TPU relay (docs/RESULTS.md)."""
+
+        def body(st, batch):
+            st, loss, scores = self._step(st, batch)
+            return st, (loss, scores)
+
+        state, (losses, scores) = jax.lax.scan(body, state, batches)
+        return state, losses, scores
+
     # ---- epoch loops -----------------------------------------------------
 
     def _batch_metrics(
@@ -189,13 +203,53 @@ class GNNTrainer:
                     average_precision_np(scores[sel], labels[sel])
                 )
 
-    def train_epoch(self, batcher: GraphBatcher) -> Dict[str, float]:
+    def train_epoch(
+        self, batcher: GraphBatcher, fused_steps: int = 1
+    ) -> Dict[str, float]:
+        """One epoch; with ``fused_steps=K`` same-shape batches are stacked
+        and run as one K-step scanned program (leftovers run singly)."""
         metrics: Dict[str, List[float]] = defaultdict(list)
+        if fused_steps <= 1:
+            for batch in batcher.epoch(shuffle=True):
+                batch = self.shard_batch(batch)
+                self.state, loss, scores = self._train_step(self.state, batch)
+                self._batch_metrics(metrics, "train", loss, scores, batch)
+            return _nanmean_metrics(metrics)
+
+        pending: Dict[Any, List] = defaultdict(list)
         for batch in batcher.epoch(shuffle=True):
-            batch = self.shard_batch(batch)
-            self.state, loss, scores = self._train_step(self.state, batch)
-            self._batch_metrics(metrics, "train", loss, scores, batch)
+            key = jax.tree.structure(batch), tuple(
+                x.shape for x in jax.tree.leaves(batch)
+            )
+            pending[key].append(batch)
+            if len(pending[key]) == fused_steps:
+                self._run_fused(metrics, pending.pop(key))
+        for group in pending.values():
+            if len(group) > 1:
+                self._run_fused(metrics, group)  # one smaller fused program
+            else:
+                batch = self.shard_batch(group[0])
+                self.state, loss, scores = self._train_step(self.state, batch)
+                self._batch_metrics(metrics, "train", loss, scores, batch)
         return _nanmean_metrics(metrics)
+
+    def _run_fused(self, metrics, group) -> None:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+        self.state, losses, scores = self._multi_step(self.state, stacked)
+        # ONE host fetch for the whole group, and only of the small metric
+        # fields (per-step / full-graph fetches through a remote-TPU relay
+        # would eat the fusion win)
+        losses = np.asarray(losses)
+        scores = np.asarray(scores)
+        graphs = stacked[0] if isinstance(stacked, tuple) else stacked
+        fields = {
+            name: np.asarray(getattr(graphs, name))
+            for name in ("edge_label", "edge_mask", "node_class", "edge_src")
+        }
+        for k in range(len(group)):
+            view = _MetricsView(**{n: v[k] for n, v in fields.items()})
+            self._batch_metrics(metrics, "train", losses[k], scores[k], view)
+
 
     def eval_epoch(self, batcher: GraphBatcher) -> Dict[str, float]:
         metrics: Dict[str, List[float]] = defaultdict(list)
@@ -214,11 +268,12 @@ class GNNTrainer:
         version: str = "synthetic",
         verbose: bool = True,
         writer=None,
+        fused_steps: int = 1,
     ) -> List[Dict[str, float]]:
         history = []
         for epoch in range(epochs):
             t0 = time.time()
-            m = self.train_epoch(train_batcher)
+            m = self.train_epoch(train_batcher, fused_steps=fused_steps)
             if val_batcher is not None:
                 m.update(self.eval_epoch(val_batcher))
             m["epoch_time_s"] = time.time() - t0
@@ -284,6 +339,16 @@ class GNNTrainer:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+
+class _MetricsView:
+    """Minimal numpy view of the graph fields _batch_metrics consumes."""
+
+    def __init__(self, edge_label, edge_mask, node_class, edge_src):
+        self.edge_label = edge_label
+        self.edge_mask = edge_mask
+        self.node_class = node_class
+        self.edge_src = edge_src
 
 
 def _nanmean_metrics(metrics: Dict[str, List[float]]) -> Dict[str, float]:

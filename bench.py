@@ -104,7 +104,7 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
                     pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
                     edge_attr=w.edge_attr, node_time=w.node_time,
                     node_class=w.node_class, max_nodes=max_nodes,
-                    max_edges=max_edges,
+                    max_edges=max_edges, include_modalities=False,
                 )
             )
             di = np.zeros(max_nodes, np.int32)
@@ -112,7 +112,7 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
             dets.append(di)
             real_edges += w.num_edges
         while len(graphs) < nb * batch_size:
-            graphs.append(empty_graph(max_nodes, max_edges))
+            graphs.append(empty_graph(max_nodes, max_edges, include_modalities=False))
             dets.append(np.zeros(max_nodes, np.int32))
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs),

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--tracks", type=int, default=12)
+    ap.add_argument("--fused-steps", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -84,7 +85,9 @@ def main():
 
     batcher = EncodedGraphBatcher(train_items, batch_size=8, buckets=buckets)
     t0 = time.time()
-    history = trainer.fit(batcher, epochs=args.epochs, verbose=True)
+    history = trainer.fit(
+        batcher, epochs=args.epochs, verbose=True, fused_steps=args.fused_steps
+    )
     train_time = time.time() - t0
     steps = len(batcher) * args.epochs
     print(f"training: {train_time:.1f}s for {steps} steps "

@@ -188,3 +188,39 @@ def test_encoded_training_learns():
     batcher = EncodedGraphBatcher(items, 2, BUCKETS)
     hist = trainer.fit(batcher, epochs=4, verbose=False)
     assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+
+
+def test_fused_multi_step_matches_sequential():
+    """K scanned optimizer steps must equal K sequential steps exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    windows = _windows(2)
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS, seed=0)
+    batches = list(batcher.epoch(shuffle=False))[:3]
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=1e-4, batch_size=2)
+
+    t_seq = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0)
+    seq_losses = []
+    for b in batches:
+        t_seq.state, loss, _ = t_seq._train_step(t_seq.state, b)
+        seq_losses.append(float(loss))
+
+    t_fused = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    t_fused.state, losses, _ = t_fused._multi_step(t_fused.state, stacked)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_seq.state.params), jax.tree.leaves(t_fused.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    assert int(t_fused.state.step) == 3
+
+
+def test_train_epoch_fused_runs():
+    windows = _windows(2)
+    batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS, seed=0)
+    example = to_padded(windows[0], *BUCKETS[0])
+    trainer = GNNTrainer(PoseGNN(depth=2), example, GNNConfig(lr=1e-3, batch_size=2))
+    m = trainer.train_epoch(batcher, fused_steps=4)
+    assert np.isfinite(m["train/loss"])
