@@ -8,6 +8,13 @@ are built by :func:`graphs.build_device.build_windows_device`, every
 detection is encoded once, and all window forwards run inside the same XLA
 program — the host only receives the final per-edge scores (plus the
 detection-index pairs needed for cross-window averaging).
+
+Scene shapes are quantized coarsely (m_pad multiples of 256, 64-node window
+budgets, window counts padded to 8 with parked start indices) so a whole
+split shares a handful of compiled programs. The one-big-program compile
+only pays off across many scenes; for a handful of scenes the chunked
+:class:`infer.predict.SceneEncodedScorer` (small cached programs) is the
+better choice.
 """
 
 from __future__ import annotations
@@ -49,11 +56,12 @@ class DeviceScenePipeline:
 
         @jax.jit
         def run(frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
-                wlh, class_id, score, token_id, det_mask, img, lidar, radar):
+                wlh, class_id, score, token_id, det_mask, img, lidar, radar,
+                window_starts):
             g = build_windows_device(
                 frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
                 wlh, class_id, score, token_id, det_mask,
-                jnp.arange(num_windows, dtype=jnp.int32),
+                window_starts,
                 window_len=window_len, k=k, max_nodes=max_nodes,
             )
             x_img, pn, rn = model.apply(
@@ -105,17 +113,20 @@ class DeviceScenePipeline:
         indices (equivalent to infer.predict.average_scene_edges over the
         host pipeline's windows)."""
         m = scene.num_detections
-        num_windows = scene.num_frames - self.window_len + 1
-        if m == 0 or num_windows <= 0:
+        real_windows = scene.num_frames - self.window_len + 1
+        if m == 0 or real_windows <= 0:
             return {}
         assert np.all(np.diff(scene.frame_idx) >= 0)
 
         counts = np.bincount(scene.frame_idx, minlength=scene.num_frames)
         max_nodes = max(
-            int(counts[s : s + self.window_len].sum()) for s in range(num_windows)
+            int(counts[s : s + self.window_len].sum()) for s in range(real_windows)
         )
-        max_nodes = max(32, -(-max_nodes // 32) * 32)
-        m_pad = -(-m // 64) * 64
+        # coarse shape quanta so scenes share compiled programs (window
+        # starts beyond the scene produce empty, fully-masked windows)
+        max_nodes = max(64, -(-max_nodes // 64) * 64)
+        m_pad = max(256, -(-m // 256) * 256)
+        num_windows = -(-real_windows // 8) * 8
 
         pad1 = lambda a, v=0: np.pad(a, (0, m_pad - m), constant_values=v)
         pad2 = lambda a: np.pad(a, ((0, m_pad - m), (0, 0)))
@@ -125,6 +136,11 @@ class DeviceScenePipeline:
             if a is not None:
                 buf[:m] = a
             return jnp.asarray(buf)
+
+        # padding window starts are parked far past the scene so they select
+        # zero detections (fully masked) instead of partial trailing windows
+        window_starts = np.full(num_windows, 1 << 20, np.int32)
+        window_starts[:real_windows] = np.arange(real_windows, dtype=np.int32)
 
         run = self._get_fn(m_pad, num_windows, max_nodes)
         scores, gsrc, gdst, emask = run(
@@ -143,6 +159,7 @@ class DeviceScenePipeline:
             padm(scene.img, IMG_SHAPE),
             padm(scene.lidar, LIDAR_SHAPE),
             padm(scene.radar, RADAR_SHAPE),
+            jnp.asarray(window_starts),
         )
         scores = np.asarray(scores)
         gsrc = np.asarray(gsrc)

@@ -62,6 +62,9 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
     per-repetition time is pure device work.
     """
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from batch3dmot_tpu.graph import (

@@ -24,9 +24,13 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--tracks", type=int, default=12)
     ap.add_argument("--fused-steps", type=int, default=8)
+    ap.add_argument("--device-pipeline", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from batch3dmot_tpu.config import GNNConfig, GraphConstructionConfig
     from batch3dmot_tpu.data.synthetic import make_synthetic_scene
@@ -93,12 +97,20 @@ def main():
     print(f"training: {train_time:.1f}s for {steps} steps "
           f"({steps/train_time:.1f} steps/s)", flush=True)
 
-    scorer = make_scene_encoded_scorer(model, trainer.variables)
+    if args.device_pipeline:
+        from batch3dmot_tpu.infer.device_pipeline import predict_scene_device
+    else:
+        scorer = make_scene_encoded_scorer(model, trainer.variables)
     gt_boxes, pred_boxes, frames = [], [], []
     t0 = time.time()
     n_edges = 0
     for scene, windows in val_scenes:
-        pred_edges, _ = predict_scene(scorer, scene, windows, windows_per_batch=8)
+        if args.device_pipeline:
+            pred_edges, _ = predict_scene_device(
+                model, trainer.variables, scene, window_len=3
+            )
+        else:
+            pred_edges, _ = predict_scene(scorer, scene, windows, windows_per_batch=8)
         cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
         tracks = hierarchical_clusters(pred_edges, cats)
         results = scene_results(tracks, scene)
