@@ -202,6 +202,7 @@ def cmd_train_gnn(args) -> None:
         log_dir=log_dir,
         version=cfg.main.version,
         writer=MetricWriter(log_dir),
+        fused_steps=args.fused_steps,
     )
     print(f"train-gnn: done, checkpoints in {log_dir}")
 
@@ -509,6 +510,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--model", choices=["pose", "mm"], default="mm")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--init-checkpoint", type=str, default=None)
+    p.add_argument("--fused-steps", type=int, default=8,
+                   help="optimizer steps fused into one device program")
     p.set_defaults(fn=cmd_train_gnn)
 
     for name, fn in [
