@@ -74,8 +74,13 @@ def load_detection_results(
         if not rows:
             out[sample_token] = FrameBoxes.empty()
             continue
-        vel = np.array(
-            [list(b.get("velocity", (0.0, 0.0)))[:2] + [0.0] for b in rows]
+        # real detection JSONs carry NaN velocities for some boxes (stationary
+        # or unestimated) — NaN would poison the weighted kNN distances
+        vel = np.nan_to_num(
+            np.array(
+                [list(b.get("velocity", (0.0, 0.0)))[:2] + [0.0] for b in rows],
+                dtype=float,
+            )
         )
         out[sample_token] = FrameBoxes(
             center=np.array([b["translation"] for b in rows], float),

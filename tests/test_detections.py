@@ -155,3 +155,15 @@ def test_scene_ego_frame_conversion():
     assert scene.yaw_e[0] == pytest.approx(0.0, abs=1e-9)
     # global values preserved
     np.testing.assert_allclose(scene.center_g[0], [10, 5, 0])
+
+
+def test_load_detection_results_nan_velocity(tmp_path):
+    data = {"results": {"t": [{
+        "translation": [1, 2, 0.5], "size": [2, 4, 1.5],
+        "rotation": [1, 0, 0, 0], "velocity": [float("nan"), float("nan")],
+        "detection_name": "car", "detection_score": 0.7,
+    }]}}
+    p = tmp_path / "d.json"
+    p.write_text(json.dumps(data))
+    out = load_detection_results(str(p))
+    assert np.isfinite(out["t"].velocity).all()
