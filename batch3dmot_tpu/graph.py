@@ -178,13 +178,19 @@ def empty_graph(
 # ---------------------------------------------------------------------------
 
 # Default (max_nodes, max_edges) buckets; windows are assigned to the smallest
-# bucket that fits, limiting XLA recompilation to a handful of shapes.
+# bucket that fits, limiting XLA recompilation to a handful of shapes. The
+# high-edge variants cover trainval graphs (top_knn_nodes=40 gives up to
+# ~40 edges per node, far above the 8x ratio of the small buckets).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
     (64, 512),
     (128, 1024),
+    (128, 4096),
     (256, 2048),
+    (256, 8192),
     (512, 4096),
+    (512, 16384),
     (1024, 8192),
+    (1024, 32768),
 )
 
 

@@ -298,3 +298,17 @@ def test_device_builder_matches_numpy(seed):
         np.testing.assert_allclose(
             sorted(a.edge_weight.tolist()), sorted(b.edge_weight.tolist()), rtol=1e-6
         )
+
+
+def test_buckets_cover_trainval_knn40():
+    """A len-5 window with top_knn_nodes=40 (the trainval config) must fit a
+    default bucket."""
+    from batch3dmot_tpu.graph import DEFAULT_BUCKETS, pick_bucket
+
+    scene = make_synthetic_scene(seed=0, num_frames=6, num_tracks=40,
+                                 fp_per_frame=5.0)
+    g = build_window_graph(scene, 0, 5, GraphConstructionConfig(top_knn_nodes=40))
+    bucket = pick_bucket(g.num_nodes, g.num_edges, DEFAULT_BUCKETS)
+    assert bucket[0] >= g.num_nodes and bucket[1] >= g.num_edges
+    # worst-case ratio sanity: 1024 nodes x 40 knn fits the largest bucket
+    assert pick_bucket(700, 700 * 40, DEFAULT_BUCKETS) == (1024, 32768)
