@@ -125,7 +125,16 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
             ],
         )
         if example is None:
-            example = graphs[0]
+            # init needs real modality shapes (the scoring graphs themselves
+            # are modality-free; embeddings come from the scene encode)
+            w = windows[0]
+            example = pad_graph(
+                pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+                edge_attr=w.edge_attr, node_time=w.node_time,
+                node_class=w.node_class, max_nodes=max_nodes,
+                max_edges=max_edges, img=scene.img[w.det_index],
+                lidar=scene.lidar[w.det_index], radar=scene.radar[w.det_index],
+            )
         all_mods.append(mods)
         all_batches.append(stacked)
         all_dets.append(np.stack(dets).reshape(nb, batch_size, max_nodes))
