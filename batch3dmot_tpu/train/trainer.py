@@ -76,6 +76,17 @@ class GNNTrainer:
         self.from_logits = from_logits
         self.shard_batch = shard_batch or (lambda x: x)
 
+        if (
+            init_variables is None
+            and getattr(model, "modalities", None)
+            and example_graph.img.size == 0
+        ):
+            raise ValueError(
+                "example_graph has modality-free placeholders but the model "
+                "has active modalities; init from a graph padded with "
+                "include_modalities=True (the training batches themselves "
+                "may be modality-free when using precomputed encodings)"
+            )
         variables = init_variables or jax.jit(model.init)(
             jax.random.key(seed), example_graph
         )
