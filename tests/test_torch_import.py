@@ -356,3 +356,116 @@ def test_mm_gnn_import_structure(rng):
 
 def _np_sd_prefixed(prefix, module):
     return {prefix + k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+class _TorchMMCausalMP(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.edge_update = _mlp_seq((320, 256, 128, 64))
+        self.create_past_msgs = _mlp_seq((256, 192, 128))
+        self.create_future_msgs = _mlp_seq((256, 192, 128))
+        self.combine_future_past = _mlp_seq((256, 192, 128, 96))
+
+    def forward(self, x, src, dst, edge_attr, initial_x, att_edge_attr):
+        n = x.shape[0]
+        ue = self.edge_update(torch.cat([x[dst], x[src], edge_attr, att_edge_attr], 1))
+        fm = self.create_future_msgs(torch.cat([x[dst], ue, initial_x[dst]], 1))
+        pm = self.create_past_msgs(torch.cat([x[src], ue, initial_x[src]], 1))
+        agg_p = torch.zeros(n, pm.shape[1]).index_add_(0, dst, pm)
+        agg_f = torch.zeros(n, fm.shape[1]).index_add_(0, src, fm)
+        return self.combine_future_past(torch.cat([agg_p, agg_f], 1)), ue
+
+
+class _TorchMMGNNRef(tnn.Module):
+    """Reference-layout (state-dict-compatible) multimodal GNN twin."""
+
+    def __init__(self, depth=2):
+        super().__init__()
+        self.depth = depth
+        self.resnet = _TorchResNetAE()
+        self.pointnet = _TorchPointNet()
+        self.radarnet = _TorchRadarNet()
+        self.edge_encoder = _mlp_seq((4, 16, 32, 64))
+        self.node_encoder = _mlp_seq((19, 48, 96))
+        self.edge_classifier = _mlp_seq((64, 32, 16, 8, 1))
+        self.fc_lidar_encoder = _mlp_seq((256, 192, 128))
+        self.fc_radar_encoder = _mlp_seq((256, 192, 128, 64))
+        self.c2c_att = tnn.MultiheadAttention(96, 2, batch_first=True)
+        self.l2l_att = tnn.MultiheadAttention(128, 2, batch_first=True)
+        self.r2r_att = tnn.MultiheadAttention(64, 2, batch_first=True)
+        self.att_edge_encoder = _mlp_seq((640, 512, 384, 256, 128, 64))
+        self.message_passing = _TorchMMCausalMP()
+
+    def forward(self, pose, img, lidar, radar, src, dst, edge_attr):
+        lid_present = lidar.flatten(1).sum(1) != 0
+        rad_present = radar.flatten(1).sum(1) != 0
+
+        x_img = self.resnet.encode(img)
+        x_lidar = torch.zeros(pose.shape[0], 128)
+        x_lidar[lid_present] = self.fc_lidar_encoder(
+            self.pointnet.forward_feat(lidar[lid_present])
+        )
+        x_radar = torch.zeros(pose.shape[0], 64)
+        x_radar[rad_present] = self.fc_radar_encoder(
+            self.radarnet.forward_feat(radar[rad_present])
+        )
+
+        e = self.edge_encoder(edge_attr)
+
+        def att1(mha, xq, xkv):
+            out, _ = mha(xq.unsqueeze(1), xkv.unsqueeze(1), xkv.unsqueeze(1),
+                         need_weights=False)
+            return out.squeeze(1)
+
+        # reference attends value=endpoint features; query irrelevant (1 token)
+        xj_img, xi_img = att1(self.c2c_att, x_img[dst], x_img[src]), att1(self.c2c_att, x_img[src], x_img[dst])
+        xj_lid, xi_lid = att1(self.l2l_att, x_lidar[dst], x_lidar[src]), att1(self.l2l_att, x_lidar[src], x_lidar[dst])
+        xj_rad, xi_rad = att1(self.r2r_att, x_radar[dst], x_radar[src]), att1(self.r2r_att, x_radar[src], x_radar[dst])
+        sens_j = torch.cat([xj_rad, xj_lid, xj_img], 1)
+        sens_i = torch.cat([xi_rad, xi_lid, xi_img], 1)
+        att_e = self.att_edge_encoder(torch.cat([sens_i, sens_j, e], 1))
+
+        x = self.node_encoder(pose)
+        x0 = x
+        for _ in range(self.depth):
+            x, e = self.message_passing(x, src, dst, e, x0, att_e)
+        return torch.sigmoid(self.edge_classifier(e)).squeeze(1)
+
+
+def test_mm_gnn_import_forward_parity(rng):
+    """Full multimodal forward: reference-layout torch state dict imported
+    into MultimodalGNN must reproduce the torch scores numerically."""
+    from batch3dmot_tpu.config import GraphConstructionConfig
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.graphs import build_window_graph
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.train.data import to_padded
+
+    depth = 2
+    tm = _TorchMMGNNRef(depth).eval()
+    for m in tm.modules():
+        if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+
+    scene = make_synthetic_scene(seed=11, num_frames=4, num_tracks=5,
+                                 with_modalities=True, modality_dropout=0.4)
+    w = build_window_graph(scene, 0, 3, GraphConstructionConfig(top_knn_nodes=4))
+    n, e = w.num_nodes, w.num_edges
+
+    with torch.no_grad():
+        t_scores = tm(
+            torch.from_numpy(w.pose),
+            torch.from_numpy(np.ascontiguousarray(w.img.transpose(0, 3, 1, 2))),
+            torch.from_numpy(np.ascontiguousarray(w.lidar.transpose(0, 2, 1))),
+            torch.from_numpy(np.ascontiguousarray(w.radar.transpose(0, 2, 1))),
+            torch.from_numpy(w.edge_src.astype(np.int64)),
+            torch.from_numpy(w.edge_dst.astype(np.int64)),
+            torch.from_numpy(w.edge_attr),
+        ).numpy()
+
+    variables = ti.import_mm_gnn(_np_sd(tm))
+    model = MultimodalGNN(depth=depth)
+    g = to_padded(w, n, e)  # exact-size padding: every slot real
+    f_scores, _ = model.apply(variables, g)
+    np.testing.assert_allclose(np.asarray(f_scores), t_scores, rtol=3e-3, atol=3e-4)
