@@ -202,7 +202,7 @@ def cmd_train_gnn(args) -> None:
         log_dir=log_dir,
         version=cfg.main.version,
         writer=MetricWriter(log_dir),
-        fused_steps=args.fused_steps,
+        fused_steps=getattr(args, "fused_steps", 8),
     )
     print(f"train-gnn: done, checkpoints in {log_dir}")
 
@@ -293,7 +293,7 @@ def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
     first = GraphStoreReader(paths[0]).window(0)
     bucket = pick_bucket(first.num_nodes, max(first.num_edges, 1))
     example = to_padded(first, *bucket)
-    variables = model.init(jax.random.key(0), example)
+    variables = jax.jit(model.init)(jax.random.key(0), example)
     if checkpoint:
         variables = load_checkpoint(checkpoint, variables)
     scorer = make_scorer(model, variables)
