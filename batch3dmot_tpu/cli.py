@@ -2,13 +2,16 @@
 
 Replaces the reference's per-stage scripts (``preprocess_*.py``,
 ``construct_detection_graph_*.py``, ``train*.py``, ``predict.py``,
-``eval_nuscenes.py``) with one config-driven entry point:
+``eval_nuscenes.py``, ``utils/concat_jsons.py``) with one config-driven
+entry point:
 
+    python -m batch3dmot_tpu.cli preprocess   --config cfg.yaml [--modality all]
     python -m batch3dmot_tpu.cli build-graphs --config cfg.yaml [--synthetic N]
-    python -m batch3dmot_tpu.cli train-gnn    --config cfg.yaml [--model pose|mm]
+    python -m batch3dmot_tpu.cli train-gnn    --config cfg.yaml [--model pose|mm] [--devices N]
     python -m batch3dmot_tpu.cli train-resnet | train-pointnet | train-radarnet
-    python -m batch3dmot_tpu.cli predict      --config cfg.yaml --checkpoint ck
+    python -m batch3dmot_tpu.cli predict      --config cfg.yaml --checkpoint ck [--pipeline encoded]
     python -m batch3dmot_tpu.cli eval         --submission sub.json --gt gt.json
+    python -m batch3dmot_tpu.cli concat-jsons --file1 a.json --file2 b.json --outfile out.json
     python -m batch3dmot_tpu.cli demo         # full synthetic pipeline
 
 Every command accepts ``--set section.key=value`` overrides. On a machine
@@ -16,6 +19,11 @@ with the nuScenes dataset, ``build-graphs`` reads the tables natively
 (:mod:`batch3dmot_tpu.data.nuscenes_tables`) and the detector JSONs
 configured under ``detections``; without it, ``--synthetic`` generates
 fixed-seed scenes so the entire pipeline runs anywhere.
+
+``--devices N`` on the training/predict commands builds an N-device
+``jax.sharding.Mesh`` and shards batches along their leading dimension
+(data parallel; the reference's 4-way NCCL DDP equivalent,
+``train_resnet_ae_ddp.py:288-290``).
 """
 
 from __future__ import annotations
@@ -50,6 +58,16 @@ def _active_modalities(cfg: Config):
         m for m in ("img", "lidar", "radar") if cfg.main.sensors_used.get(m)
     )
     return mods or ("img", "lidar", "radar")
+
+
+def _mesh_from_args(args):
+    """N-device data-parallel mesh from --devices (None for single-device)."""
+    n = getattr(args, "devices", None)
+    if not n or n <= 1:
+        return None
+    from batch3dmot_tpu.parallel import make_mesh
+
+    return make_mesh(n)
 
 
 def _build_synthetic_scenes(cfg: Config, num_scenes: int, with_mods: bool):
@@ -125,17 +143,33 @@ def _load_nuscenes_scenes(cfg: Config):
             f"split={split_key}; set detections.{cfg.main.detections}.{split_key}"
         )
     dets = load_detection_results(os.path.join(cfg.paths.detections_dir, det_path))
+    # Raw modality features per detection (reference extracts them inside
+    # graph construction, construct...parallel.py:162-385) — only for the
+    # sensors the config enables (poses-only configs skip the whole stage).
+    want = tuple(
+        m for m in ("img", "lidar", "radar") if cfg.main.sensors_used.get(m)
+    )
     scenes = []
     for split, metas in tables.split_scene_lists().items():
         for meta in metas:
             toks, ego_t, ego_q = tables.scene_ego_poses(meta["token"])
             gt = tables.scene_gt(meta["token"])
+            img = lidar = radar = None
+            if want:
+                from batch3dmot_tpu.data.preprocess import (
+                    extract_detection_modalities,
+                )
+
+                img, lidar, radar = extract_detection_modalities(
+                    tables, toks, dets, cfg, modalities=want
+                )
             scenes.append(
                 scene_from_frames(
                     meta["token"], toks, dets, gt, ego_t, ego_q,
                     cfg.graph_construction,
                     ego_rad_min=cfg.pointnet.ego_rad_min,
                     ego_rad_max=cfg.pointnet.ego_rad_max,
+                    img=img, lidar=lidar, radar=radar,
                 )
             )
     return scenes
@@ -177,10 +211,19 @@ def cmd_train_gnn(args) -> None:
             modalities=_active_modalities(cfg),
         )
 
+    mesh = _mesh_from_args(args)
+    if mesh is not None and cfg.gnn.batch_size % mesh.size:
+        new_bs = -(-cfg.gnn.batch_size // mesh.size) * mesh.size
+        print(
+            f"train-gnn: rounding gnn.batch_size {cfg.gnn.batch_size} -> "
+            f"{new_bs} (divisible by {mesh.size} devices)"
+        )
+        cfg.gnn.batch_size = new_bs
+
     first = GraphStoreReader(store_paths[0]).window(0)
     bucket = pick_bucket(max(first.num_nodes, 1), max(first.num_edges, 1))
     example = to_padded(first, *bucket)
-    trainer = GNNTrainer(model, example, cfg.gnn)
+    trainer = GNNTrainer(model, example, cfg.gnn, mesh=mesh)
     if args.init_checkpoint:
         from batch3dmot_tpu.utils.checkpoint import load_checkpoint
 
@@ -205,98 +248,274 @@ def cmd_train_gnn(args) -> None:
         fused_steps=getattr(args, "fused_steps", 8),
     )
     print(f"train-gnn: done, checkpoints in {log_dir}")
+    return history
 
 
-def _encoder_cmd(args, make_trainer, prefix: str) -> None:
-    cfg = _load_config(args)
-    # Without the dataset, train on synthetic batches (shape-compatible).
-    rng = np.random.default_rng(0)
+def _split_entries(anns: dict):
+    """(train_entries, val_entries) from a split-keyed processed-anns dict
+    (keys like train/val or mini_train/mini_val; fallback: everything)."""
+    train, val = [], []
+    for key, entries in anns.items():
+        if "train" in key:
+            train.extend(entries)
+        elif "val" in key:
+            val.extend(entries)
+    if not train:
+        train = [e for entries in anns.values() for e in entries]
+    return train, val
+
+
+def _synthetic_encoder_batches(prefix: str, batch_size: int = 8, n: int = 16):
+    """Shape-compatible random batches (explicit --synthetic only)."""
     import jax.numpy as jnp
 
+    rng = np.random.default_rng(0)
     if prefix == "resnet":
-        batches = [
-            jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
-            for _ in range(16)
+        return [
+            jnp.asarray(rng.random((batch_size, 32, 32, 3), dtype=np.float32))
+            for _ in range(n)
         ]
+    pts_shape = (
+        (batch_size, 128, 3) if prefix == "pointnet" else (batch_size, 64, 4)
+    )
+    return [
+        (
+            jnp.asarray(rng.standard_normal(pts_shape).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 7, batch_size)),
+        )
+        for _ in range(n)
+    ]
+
+
+def _encoder_cmd(args, make_trainer, prefix: str):
+    """Shared body of train-resnet / train-pointnet / train-radarnet.
+
+    Default: train on the L2 preprocessing artifacts under
+    ``paths.preprocessed`` (the reference's ``train_resnet_ae.py:172-219`` /
+    ``train_pointnet.py:127-170`` / ``train_radarnet.py`` data paths).
+    ``--synthetic`` trains on random shape-compatible batches instead.
+    """
+    cfg = _load_config(args)
+    mesh = _mesh_from_args(args)
+    enc_cfg = getattr(cfg, prefix)
+    bs = enc_cfg.batch_size
+    if mesh is not None and bs % mesh.size:
+        bs = -(-bs // mesh.size) * mesh.size
+        print(f"train-{prefix}: rounding batch_size to {bs} for {mesh.size} devices")
+
+    if getattr(args, "synthetic", False):
+        batches = _synthetic_encoder_batches(prefix)
+        train_iter = lambda: iter(batches)  # noqa: E731
+        val_iter = None
+        steps_per_epoch = len(batches)
     else:
-        pts_shape = (8, 128, 3) if prefix == "pointnet" else (8, 64, 4)
-        batches = [
-            (
-                jnp.asarray(rng.standard_normal(pts_shape).astype(np.float32)),
-                jnp.asarray(rng.integers(0, 7, 8)),
+        from batch3dmot_tpu.data.preprocess import (
+            image_batches,
+            lidar_batches,
+            radar_batches,
+        )
+
+        pre = cfg.paths.preprocessed
+        kind = "img" if prefix == "resnet" else (
+            "lidar" if prefix == "pointnet" else "radar"
+        )
+        anns_path = os.path.join(pre, f"processed_{kind}_anns.json")
+        if not os.path.exists(anns_path):
+            raise SystemExit(
+                f"{anns_path} not found; run `preprocess` first "
+                f"(or pass --synthetic for random batches)"
             )
-            for _ in range(16)
-        ]
-    trainer = make_trainer(steps_per_epoch=len(batches))
-    trainer.fit(
-        lambda: iter(batches),
-        epochs=args.epochs or 2,
+        with open(anns_path) as f:
+            anns = json.load(f)
+        train_entries, val_entries = _split_entries(anns)
+        if len(train_entries) < bs:
+            raise SystemExit(
+                f"train-{prefix}: only {len(train_entries)} usable annotations "
+                f"< batch_size {bs}; lower {prefix}.batch_size"
+            )
+        rng = np.random.default_rng(enc_cfg.manual_seed)
+        if prefix == "resnet":
+            mk = lambda entries, shuffle: lambda: image_batches(  # noqa: E731
+                cfg.paths.data, entries, bs,
+                res_size=cfg.resnet.res_size, rng=rng, shuffle=shuffle,
+            )
+        elif prefix == "pointnet":
+            mk = lambda entries, shuffle: lambda: lidar_batches(  # noqa: E731
+                os.path.join(pre, "lidar"), entries, bs,
+                min_pts=cfg.pointnet.min_lidar_pts,
+                ego_rad=(cfg.pointnet.ego_rad_min, cfg.pointnet.ego_rad_max),
+                num_points=cfg.pointnet.num_points,
+                augment=shuffle,  # augmentation on the train split only
+                rng=rng, shuffle=shuffle,
+            )
+        else:
+            mk = lambda entries, shuffle: lambda: radar_batches(  # noqa: E731
+                os.path.join(pre, "radar"), entries, bs,
+                min_pts=cfg.radarnet.min_radar_pts,
+                ego_rad=(cfg.radarnet.ego_rad_min, cfg.radarnet.ego_rad_max),
+                num_points=cfg.radarnet.num_points,
+                rng=rng, shuffle=shuffle,
+            )
+        train_iter = mk(train_entries, True)
+        val_iter = mk(val_entries, False) if len(val_entries) >= bs else None
+        steps_per_epoch = max(1, len(train_entries) // bs)
+        print(
+            f"train-{prefix}: {len(train_entries)} train / "
+            f"{len(val_entries)} val annotations, batch {bs}"
+        )
+
+    trainer = make_trainer(steps_per_epoch=steps_per_epoch, mesh=mesh)
+    return trainer.fit(
+        train_iter,
+        val_iter,
+        epochs=args.epochs or enc_cfg.num_epochs,
         log_dir=os.path.join(cfg.paths.models, prefix),
         prefix=prefix,
     )
 
 
-def cmd_train_resnet(args) -> None:
+def cmd_train_resnet(args):
     from batch3dmot_tpu.train.encoders import make_resnet_trainer
 
     cfg = _load_config(args)
-    _encoder_cmd(args, lambda **kw: make_resnet_trainer(cfg.resnet, **kw), "resnet")
+    return _encoder_cmd(
+        args, lambda **kw: make_resnet_trainer(cfg.resnet, **kw), "resnet"
+    )
 
 
-def cmd_train_pointnet(args) -> None:
+def cmd_train_pointnet(args):
     from batch3dmot_tpu.train.encoders import make_pointnet_trainer
 
     cfg = _load_config(args)
-    _encoder_cmd(args, lambda **kw: make_pointnet_trainer(cfg.pointnet, **kw), "pointnet")
+    return _encoder_cmd(
+        args, lambda **kw: make_pointnet_trainer(cfg.pointnet, **kw), "pointnet"
+    )
 
 
-def cmd_train_radarnet(args) -> None:
+def cmd_train_radarnet(args):
     from batch3dmot_tpu.train.encoders import make_radarnet_trainer
 
     cfg = _load_config(args)
-    _encoder_cmd(args, lambda **kw: make_radarnet_trainer(cfg.radarnet, **kw), "radarnet")
+    return _encoder_cmd(
+        args, lambda **kw: make_radarnet_trainer(cfg.radarnet, **kw), "radarnet"
+    )
 
 
 def cmd_predict(args) -> None:
     cfg = _load_config(args)
-    _run_predict(cfg, args.checkpoint, args.model)
+    return _run_predict(
+        cfg,
+        args.checkpoint,
+        args.model,
+        pipeline=getattr(args, "pipeline", "auto"),
+        mesh=_mesh_from_args(args),
+        synthetic=getattr(args, "synthetic", 0),
+    )
 
 
-def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
+def _predict_model(cfg: Config, model_kind: str):
+    from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
+
+    if model_kind == "pose":
+        return PoseGNN(depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode)
+    return MultimodalGNN(
+        depth=cfg.gnn.gnn_depth,
+        use_attention=cfg.gnn.attention,
+        knn_conv_mode=cfg.gnn.knn_conv_mode,
+        modalities=_active_modalities(cfg),
+    )
+
+
+def _run_predict(
+    cfg: Config,
+    checkpoint: Optional[str],
+    model_kind: str,
+    pipeline: str = "auto",
+    mesh=None,
+    synthetic: int = 0,
+):
+    """Batched inference over graph stores (or, for the fully-fused device
+    pipeline, over scenes built straight from source data).
+
+    Pipelines (the round-1 CLI always used the slow re-encoding ``windows``
+    path; the fast paths are now the product surface):
+      * ``windows``  — per-window scoring; mm re-encodes every node of every
+        window (the reference's behavior, its baseline).
+      * ``encoded``  — encode every detection of a scene ONCE, gather
+        embeddings per window (mm default).
+      * ``device``   — one fused XLA program per scene: graph construction +
+        encoding + scoring on device; bypasses stores (mm only).
+    """
     import jax
 
     from batch3dmot_tpu.graph import pick_bucket
-    from batch3dmot_tpu.infer.predict import make_scorer, predict_scene
+    from batch3dmot_tpu.infer.predict import (
+        SceneEncodedScorer,
+        make_scorer,
+        predict_scene,
+    )
     from batch3dmot_tpu.infer.tracks import (
+        all_scene_sample_tokens,
         assemble_submission,
         hierarchical_clusters,
         scene_results,
     )
     from batch3dmot_tpu.io import GraphStoreReader
-    from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
     from batch3dmot_tpu.train.data import to_padded
     from batch3dmot_tpu.utils.checkpoint import load_checkpoint
 
-    paths = _load_stores(cfg)
-    model = (
-        PoseGNN(depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode)
-        if model_kind == "pose"
-        else MultimodalGNN(
-            depth=cfg.gnn.gnn_depth,
-            use_attention=cfg.gnn.attention,
-            knn_conv_mode=cfg.gnn.knn_conv_mode,
-            modalities=_active_modalities(cfg),
+    if pipeline == "auto":
+        pipeline = "encoded" if model_kind == "mm" else "windows"
+    if model_kind == "pose" and pipeline in ("encoded", "device"):
+        raise SystemExit(
+            f"--pipeline {pipeline} applies to the multimodal model; "
+            "the pose model has no frozen encoders (use --pipeline windows)"
         )
-    )
 
-    # init from first window for structure, then load checkpoint
-    first = GraphStoreReader(paths[0]).window(0)
-    bucket = pick_bucket(first.num_nodes, max(first.num_edges, 1))
-    example = to_padded(first, *bucket)
-    variables = jax.jit(model.init)(jax.random.key(0), example)
-    if checkpoint:
-        variables = load_checkpoint(checkpoint, variables)
-    scorer = make_scorer(model, variables)
+    model = _predict_model(cfg, model_kind)
+
+    if pipeline == "device":
+        # no stores: scenes come straight from source data
+        scenes = (
+            _build_synthetic_scenes(cfg, synthetic, True)
+            if synthetic
+            else _load_nuscenes_scenes(cfg)
+        )
+        variables = _init_variables_for_scene_model(cfg, model)
+        if checkpoint:
+            variables = load_checkpoint(checkpoint, variables)
+        scene_iter = [(s, None) for s in scenes]
+    else:
+        paths = _load_stores(cfg)
+        first = GraphStoreReader(paths[0]).window(0)
+        bucket = pick_bucket(first.num_nodes, max(first.num_edges, 1))
+        example = to_padded(first, *bucket)
+        variables = jax.jit(model.init)(jax.random.key(0), example)
+        if checkpoint:
+            variables = load_checkpoint(checkpoint, variables)
+        scene_iter = []
+        for path in paths:
+            windows = GraphStoreReader(path).windows()
+            scene = _scene_from_store(
+                path, windows, with_modalities=(pipeline == "encoded")
+            )
+            scene_iter.append((scene, windows))
+
+    if pipeline == "windows":
+        scorer = make_scorer(model, variables, mesh=mesh)
+    elif pipeline == "encoded":
+        scorer = SceneEncodedScorer(model, variables, mesh=mesh)
+    elif pipeline == "device":
+        from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+
+        device_pipe = DeviceScenePipeline(
+            model,
+            variables,
+            cfg.predict.batch_size_graph,
+            cfg.graph_construction.top_knn_nodes,
+        )
+    else:
+        raise SystemExit(f"Unknown pipeline '{pipeline}'")
 
     all_results = []
     all_tokens: List[str] = []
@@ -305,13 +524,19 @@ def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
     track_offset = 0
     t0 = time.time()
     n_edges = 0
-    for path in paths:
-        reader = GraphStoreReader(path)
-        windows = reader.windows()
-        scene = _scene_stub_from_store(path, windows)
-        pred_edges, avg_scores = predict_scene(
-            scorer, scene, windows, cfg
-        )
+    for scene, windows in scene_iter:
+        if pipeline == "device":
+            from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
+
+            avg_scores = device_pipe.score_scene(scene)
+            kept = threshold_edges(
+                avg_scores, scene, cfg.predict.edge_score_thresholds
+            )
+            pred_edges = greedy_round(kept)
+            n_edges += len(avg_scores)
+        else:
+            pred_edges, avg_scores = predict_scene(scorer, scene, windows, cfg)
+            n_edges += sum(w.num_edges for w in windows)
         with open(
             os.path.join(
                 edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
@@ -332,9 +557,6 @@ def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
             )
         )
         track_offset += len(tracks)
-        n_edges += sum(w.num_edges for w in windows)
-        from batch3dmot_tpu.infer.tracks import all_scene_sample_tokens
-
         all_tokens.extend(all_scene_sample_tokens(scene))
     dt = time.time() - t0
 
@@ -350,15 +572,43 @@ def _run_predict(cfg: Config, checkpoint: Optional[str], model_kind: str):
     with open(sub_path, "w") as f:
         json.dump(submission, f)
     print(
-        f"predict: {len(paths)} scenes, {n_edges} edges scored in {dt:.1f}s "
-        f"({n_edges / max(dt, 1e-9):.0f} edges/s) -> {sub_path}"
+        f"predict[{pipeline}]: {len(scene_iter)} scenes, {n_edges} edges "
+        f"scored in {dt:.1f}s ({n_edges / max(dt, 1e-9):.0f} edges/s) "
+        f"-> {sub_path}"
     )
     return submission
 
 
-def _scene_stub_from_store(path: str, windows):
-    """Reconstruct the minimal SceneDetections view needed by prediction
-    from a store + its metadata sidecar."""
+def _init_variables_for_scene_model(cfg: Config, model):
+    """Init mm-model variables from a tiny synthetic modality-bearing graph
+    (shape-only; real weights come from the checkpoint)."""
+    import jax
+
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.graphs import build_window_graph
+    from batch3dmot_tpu.train.data import to_padded
+
+    scene = make_synthetic_scene(
+        seed=0, num_frames=3, num_tracks=3, with_modalities=True
+    )
+    g = build_window_graph(scene, 0, 2, cfg.graph_construction)
+    example = to_padded(g, 32, 64)
+    return jax.jit(model.init)(jax.random.key(0), example)
+
+
+def _scene_from_store(path: str, windows, with_modalities: bool = False):
+    """Reconstruct the SceneDetections view needed by prediction from a
+    store + its metadata sidecar.
+
+    Global-frame yaw/velocity are rebuilt from the metadata's rotation
+    quaternion and 2D velocity (trailer-track interpolation reads them,
+    ``infer/tracks.py``); ego-frame fields stay zero — nothing downstream of
+    prediction consumes them, and storing them would duplicate the pose
+    features already in the graphs. With ``with_modalities`` the raw
+    per-detection modality arrays are re-assembled from the windows' node
+    features via ``det_index`` (each detection takes its feature from any
+    window containing it — windows store identical copies)."""
+    from batch3dmot_tpu import geometry as geo
     from batch3dmot_tpu.data.types import SceneDetections
 
     meta_path = path.replace(".b3d", "_metadata.json")
@@ -373,6 +623,15 @@ def _scene_stub_from_store(path: str, windows):
         [TRACKING_CLASSES[md["category_name"]] for md in metadata], np.int32
     )
     center_g = np.array([md["translation"] for md in metadata], float).reshape(m, 3)
+    quats = np.array(
+        [md.get("rotation", [1.0, 0.0, 0.0, 0.0]) for md in metadata], float
+    ).reshape(m, 4)
+    yaw_g = geo.quaternion_yaw(quats) if m else np.zeros((0,))
+    vel_g = np.zeros((m, 3))
+    for i, md in enumerate(metadata):
+        v = md.get("velocity")
+        if v:
+            vel_g[i, : len(v[:2])] = v[:2]
     num_frames = int(frame_idx.max()) + 1 if m else 0
     zeros3 = np.zeros((m, 3))
     zeros = np.zeros((m,))
@@ -382,13 +641,34 @@ def _scene_stub_from_store(path: str, windows):
         tok = md.get("token")
         if tok:
             token_id[i] = token_map.setdefault(tok, len(token_map))
+
+    img = lidar = radar = None
+    if with_modalities:
+        from batch3dmot_tpu.graph import IMG_SHAPE, LIDAR_SHAPE, RADAR_SHAPE
+
+        has = {
+            name: any(
+                getattr(w, name) is not None and getattr(w, name).size
+                for w in windows
+            )
+            for name in ("img", "lidar", "radar")
+        }
+        img = np.zeros((m, *IMG_SHAPE), np.float32) if has["img"] else None
+        lidar = np.zeros((m, *LIDAR_SHAPE), np.float32) if has["lidar"] else None
+        radar = np.zeros((m, *RADAR_SHAPE), np.float32) if has["radar"] else None
+        for w in windows:
+            for name, buf in (("img", img), ("lidar", lidar), ("radar", radar)):
+                arr = getattr(w, name)
+                if buf is not None and arr is not None and arr.size:
+                    buf[w.det_index] = arr
+
     return SceneDetections(
         scene_token=scene_token,
         num_frames=num_frames,
         frame_idx=frame_idx,
         center_g=center_g,
-        yaw_g=zeros,
-        vel_g=zeros3,
+        yaw_g=np.asarray(yaw_g, float).reshape(m),
+        vel_g=vel_g,
         center_e=zeros3,
         yaw_e=zeros,
         vel_e=zeros3,
@@ -397,6 +677,87 @@ def _scene_stub_from_store(path: str, windows):
         score=np.array([md["score"] for md in metadata], float),
         token_id=token_id,
         metadata=metadata,
+        img=img,
+        lidar=lidar,
+        radar=radar,
+    )
+
+
+def cmd_preprocess(args) -> None:
+    """L2 modality preprocessing stage: per-annotation artifacts for encoder
+    training (the reference's ``preprocess_{img,lidar,radar}.py`` CLIs,
+    ``preprocess_img.py:170-176``, ``preprocess_lidar.py:278-304``,
+    ``preprocess_radar.py:219-234``). Idempotent per modality via
+    ``--skip-existing``."""
+    cfg = _load_config(args)
+    from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
+    from batch3dmot_tpu.data.preprocess import (
+        generate_image_annotations,
+        preprocess_lidar_annotations,
+        preprocess_radar_annotations,
+    )
+
+    tables = NuScenesTables(cfg.paths.data, cfg.main.version)
+    pre = cfg.paths.preprocessed
+    os.makedirs(pre, exist_ok=True)
+    wanted = (
+        ("img", "lidar", "radar") if args.modality == "all" else (args.modality,)
+    )
+    skip = getattr(args, "skip_existing", False)
+
+    def done(kind):
+        return os.path.join(pre, f"processed_{kind}_anns.json")
+
+    t0 = time.time()
+    if "img" in wanted and not (skip and os.path.exists(done("img"))):
+        anns = generate_image_annotations(tables, cfg)
+        with open(done("img"), "w") as f:
+            json.dump(anns, f)
+        n = sum(len(v) for v in anns.values())
+        print(f"preprocess img: {n} annotations -> {done('img')}")
+    if "lidar" in wanted and not (skip and os.path.exists(done("lidar"))):
+        anns = preprocess_lidar_annotations(tables, os.path.join(pre, "lidar"), cfg)
+        with open(done("lidar"), "w") as f:
+            json.dump(anns, f)
+        n = sum(len(v) for v in anns.values())
+        print(f"preprocess lidar: {n} annotations -> {done('lidar')}")
+    if "radar" in wanted and not (skip and os.path.exists(done("radar"))):
+        # radar needs the per-annotation camera channel from the img stage
+        if not os.path.exists(done("img")):
+            raise SystemExit(
+                "radar preprocessing needs processed_img_anns.json for the "
+                "camera->radar channel map; run `preprocess --modality img` first"
+            )
+        with open(done("img")) as f:
+            img_anns = json.load(f)
+        anns = preprocess_radar_annotations(
+            tables, os.path.join(pre, "radar"), img_anns, cfg
+        )
+        with open(done("radar"), "w") as f:
+            json.dump(anns, f)
+        n = sum(len(v) for v in anns.values())
+        print(f"preprocess radar: {n} annotations -> {done('radar')}")
+    print(f"preprocess: done in {time.time() - t0:.1f}s -> {pre}")
+
+
+def cmd_concat_jsons(args) -> None:
+    """Merge two split-keyed annotation JSONs (mini detection-file assembly;
+    reference ``utils/concat_jsons.py:10-34`` extends file1's split lists
+    with file2's)."""
+    with open(args.file1) as f:
+        a = json.load(f)
+    with open(args.file2) as f:
+        b = json.load(f)
+    for split, entries in b.items():
+        if split in a and isinstance(a[split], list):
+            a[split].extend(entries)
+        else:
+            a[split] = entries
+    with open(args.outfile, "w") as f:
+        json.dump(a, f)
+    print(
+        f"concat-jsons: {list(a.keys())} -> {args.outfile} "
+        f"({sum(len(v) for v in a.values() if isinstance(v, list))} entries)"
     )
 
 
@@ -499,6 +860,18 @@ def main(argv: Optional[List[str]] = None) -> None:
                        help="override section.key=value")
         return p
 
+    def devices_arg(p):
+        p.add_argument("--devices", type=int, default=None,
+                       help="data-parallel device mesh size (default: 1)")
+        return p
+
+    p = common(sub.add_parser("preprocess"))
+    p.add_argument("--modality", choices=["img", "lidar", "radar", "all"],
+                   default="all")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip modalities whose anns JSON already exists")
+    p.set_defaults(fn=cmd_preprocess)
+
     p = common(sub.add_parser("build-graphs"))
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic scenes instead of nuScenes")
@@ -506,7 +879,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="skip scenes whose store already exists (resume)")
     p.set_defaults(fn=cmd_build_graphs)
 
-    p = common(sub.add_parser("train-gnn"))
+    p = devices_arg(common(sub.add_parser("train-gnn")))
     p.add_argument("--model", choices=["pose", "mm"], default="mm")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--init-checkpoint", type=str, default=None)
@@ -519,14 +892,30 @@ def main(argv: Optional[List[str]] = None) -> None:
         ("train-pointnet", cmd_train_pointnet),
         ("train-radarnet", cmd_train_radarnet),
     ]:
-        p = common(sub.add_parser(name))
+        p = devices_arg(common(sub.add_parser(name)))
         p.add_argument("--epochs", type=int, default=None)
+        p.add_argument("--synthetic", action="store_true",
+                       help="train on random shape-compatible batches")
         p.set_defaults(fn=fn)
 
-    p = common(sub.add_parser("predict"))
+    p = devices_arg(common(sub.add_parser("predict")))
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--model", choices=["pose", "mm"], default="mm")
+    p.add_argument("--pipeline",
+                   choices=["auto", "windows", "encoded", "device"],
+                   default="auto",
+                   help="windows: per-window scoring; encoded: encode-once "
+                        "(mm default); device: fused on-device graph build + "
+                        "scoring straight from source data")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="(--pipeline device) predict N synthetic scenes")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("concat-jsons")
+    p.add_argument("--file1", required=True)
+    p.add_argument("--file2", required=True)
+    p.add_argument("--outfile", required=True)
+    p.set_defaults(fn=cmd_concat_jsons)
 
     p = common(sub.add_parser("export-gt"))
     p.add_argument("--out", required=True)
@@ -543,7 +932,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.set_defaults(fn=cmd_demo)
 
     args = parser.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

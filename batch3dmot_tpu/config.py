@@ -105,6 +105,10 @@ class PathsConfig:
     models: str = ""
     eval: str = ""
     detections_dir: str = ""
+    # L2 preprocessing artifacts: processed_{img,lidar,radar}_anns.json plus
+    # lidar/ and radar/ per-annotation .npy dirs (the reference scatters
+    # these across ~6 configured paths; one root here).
+    preprocessed: str = ""
 
     def finalize(self, dataset: str) -> None:
         root = os.path.join(self.tmp, dataset)
@@ -116,6 +120,8 @@ class PathsConfig:
             self.eval = os.path.join(root, "eval")
         if not self.detections_dir:
             self.detections_dir = os.path.join(root, "detections")
+        if not self.preprocessed:
+            self.preprocessed = os.path.join(root, "preprocessed")
 
 
 @dataclass
@@ -322,7 +328,9 @@ class Config:
         explicit = {o.split("=", 1)[0] for o in overrides if "=" in o}
         if "paths.tmp" in explicit or "main.dataset" in explicit:
             # re-derive dependent paths unless they are overridden themselves
-            for leaf in ("graphs_dir", "models", "eval", "detections_dir"):
+            for leaf in (
+                "graphs_dir", "models", "eval", "detections_dir", "preprocessed"
+            ):
                 if f"paths.{leaf}" not in explicit:
                     setattr(self.paths, leaf, "")
         for item in overrides:

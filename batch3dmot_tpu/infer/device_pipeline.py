@@ -161,19 +161,14 @@ class DeviceScenePipeline:
             padm(scene.radar, RADAR_SHAPE),
             jnp.asarray(window_starts),
         )
-        scores = np.asarray(scores)
-        gsrc = np.asarray(gsrc)
-        gdst = np.asarray(gdst)
-        emask = np.asarray(emask)
+        from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
 
-        acc: Dict[Tuple[int, int], List[float]] = {}
-        for w in range(num_windows):
-            sel = emask[w]
-            for a, b, v in zip(
-                gsrc[w][sel].tolist(), gdst[w][sel].tolist(), scores[w][sel].tolist()
-            ):
-                acc.setdefault((a, b), []).append(v)
-        return {kv: float(np.mean(vs)) for kv, vs in acc.items()}
+        sel = np.asarray(emask).reshape(-1)
+        return average_edge_scores_arrays(
+            np.asarray(gsrc).reshape(-1)[sel],
+            np.asarray(gdst).reshape(-1)[sel],
+            np.asarray(scores).reshape(-1)[sel],
+        )
 
 
 def predict_scene_device(

@@ -46,21 +46,24 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def shard_batch_fn(mesh: Mesh):
-    """Returns a function sharding every leaf of a batch pytree along its
-    leading (window/batch) dimension across the ``data`` axis."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+def shard_batch_fn(mesh: Mesh, axis: int = 0):
+    """Returns a function sharding every leaf of a batch pytree along
+    dimension ``axis`` (default: the leading window/batch dimension) across
+    the ``data`` axis. ``axis=1`` handles K-step-fused batches stacked to
+    ``[K, B, ...]`` (shard B, replicate the scan dimension K)."""
+    sharding = NamedSharding(mesh, P(*([None] * axis), DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
 
     def shard(batch: Any) -> Any:
         def put(x):
-            if hasattr(x, "ndim") and x.ndim >= 1:
-                if x.shape[0] % mesh.size != 0:
+            if hasattr(x, "ndim") and x.ndim > axis:
+                if x.shape[axis] % mesh.size != 0:
                     raise ValueError(
-                        f"Leading dim {x.shape[0]} not divisible by mesh size "
-                        f"{mesh.size}"
+                        f"Dim {axis} of size {x.shape[axis]} not divisible "
+                        f"by mesh size {mesh.size}"
                     )
                 return jax.device_put(x, sharding)
-            return jax.device_put(x, NamedSharding(mesh, P()))
+            return jax.device_put(x, replicated)
 
         return jax.tree.map(put, batch)
 

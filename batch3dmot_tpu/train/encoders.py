@@ -79,10 +79,19 @@ class EncoderTrainer:
         steps_per_epoch: int = 100,
         seed: int = 0,
         shard_batch: Optional[Callable] = None,
+        mesh=None,
     ):
         self.model = model
         self.loss_fn = loss_fn
         self.cfg = cfg or EncoderTrainConfig()
+        # mesh: data-parallel encoder training (the reference's 4-way NCCL
+        # DDP, train_resnet_ae_ddp.py:125-290) — batches shard on their
+        # leading dim, state replicates, XLA inserts the gradient psum.
+        self.mesh = mesh
+        if mesh is not None and shard_batch is None:
+            from batch3dmot_tpu.parallel import shard_batch_fn
+
+            shard_batch = shard_batch_fn(mesh)
         self.shard_batch = shard_batch or (lambda x: x)
 
         rng = jax.random.key(self.cfg.manual_seed + seed)
@@ -101,6 +110,10 @@ class EncoderTrainer:
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
         )
+        if mesh is not None:
+            from batch3dmot_tpu.parallel import replicate
+
+            self.state = replicate(self.state, mesh)
         self._train_step = jax.jit(self._step, donate_argnums=0)
         self._eval_step = jax.jit(self._eval)
 

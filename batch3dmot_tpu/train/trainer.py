@@ -67,6 +67,7 @@ class GNNTrainer:
         seed: int = 0,
         init_variables: Optional[Dict] = None,
         shard_batch: Optional[Callable[[Any], Any]] = None,
+        mesh=None,
     ):
         self.model = model
         self.cfg = cfg or GNNConfig()
@@ -74,6 +75,18 @@ class GNNTrainer:
         if from_logits is None:
             from_logits = type(model).__name__ == "PoseGNN"
         self.from_logits = from_logits
+        # With a mesh, window batches are sharded along their leading (batch)
+        # dim — axis 1 for K-step-fused [K, B, ...] stacks — and the state is
+        # replicated below; XLA inserts the gradient psum over ICI (the
+        # reference's 4-way NCCL DDP, train_resnet_ae_ddp.py:125-290).
+        self.mesh = mesh
+        self.shard_stacked = None
+        if mesh is not None:
+            from batch3dmot_tpu.parallel import shard_batch_fn
+
+            if shard_batch is None:
+                shard_batch = shard_batch_fn(mesh)
+            self.shard_stacked = shard_batch_fn(mesh, axis=1)
         self.shard_batch = shard_batch or (lambda x: x)
 
         if (
@@ -121,6 +134,10 @@ class GNNTrainer:
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+        if mesh is not None:
+            from batch3dmot_tpu.parallel import replicate
+
+            self.state = replicate(self.state, mesh)
         self._train_step = jax.jit(self._step, donate_argnums=0)
         self._eval_step = jax.jit(self._forward_metrics)
         self._multi_step = jax.jit(self._scan_steps, donate_argnums=0)
@@ -246,6 +263,8 @@ class GNNTrainer:
 
     def _run_fused(self, metrics, group) -> None:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+        if self.shard_stacked is not None:
+            stacked = self.shard_stacked(stacked)
         self.state, losses, scores = self._multi_step(self.state, stacked)
         # ONE host fetch for the whole group, and only of the small metric
         # fields (per-step / full-graph fetches through a remote-TPU relay

@@ -1,0 +1,138 @@
+"""Golden cross-checks for the native AMOTA/AMOTP scorer.
+
+The official devkit is not installable in this image (CLAUDE.md), so the
+goldens are *hand-derived closed forms* of the published protocol the devkit
+implements (nuScenes tracking_nips_2019: 40 recall bins on [0.1, 1];
+MOTAR(r) = max(0, 1 - (IDS + FP + FN - (1-r)P) / (rP)); AMOTA = sum of
+per-bin MOTAR / 40, unachieved bins contributing 0). Any scorer implementing
+that protocol — devkit included — must produce these exact values; each case
+documents its derivation. Real-data devkit parity remains standing debt
+(VERDICT r1 §missing-6).
+"""
+
+import numpy as np
+
+from batch3dmot_tpu.eval.tracking_metrics import evaluate_tracking
+
+FRAMES = [f"f{i}" for i in range(10)]
+
+
+def _gt_track(cls="car", spacing=100.0):
+    """10 GT boxes of one instance, one per frame, far apart in space."""
+    return [
+        {
+            "sample_token": f"f{i}",
+            "translation": [i * spacing, 0.0, 0.0],
+            "tracking_name": cls,
+            "instance": "inst0",
+        }
+        for i in range(10)
+    ]
+
+
+def _preds_on(gt, score=0.9, track_id="t0"):
+    return [
+        {
+            "sample_token": g["sample_token"],
+            "translation": list(g["translation"]),
+            "tracking_name": g["tracking_name"],
+            "tracking_id": track_id,
+            "tracking_score": score,
+        }
+        for g in gt
+    ]
+
+
+def test_perfect_tracking_amota_one():
+    """Every recall bin achieves recall 1 with zero FP/IDS -> MOTAR = 1 in
+    all 40 bins -> AMOTA = 40/40 = 1. Exact matches -> AMOTP = 0."""
+    gt = _gt_track()
+    res = evaluate_tracking(gt, _preds_on(gt), FRAMES)
+    assert res.per_class["car"]["amota"] == 1.0
+    assert res.amota == 1.0
+    assert res.amotp == 0.0
+    assert res.per_class["car"]["ids"] == 0
+
+
+def test_single_high_scoring_fp_golden():
+    """P = 10 GT; 10 TPs at score 0.9; 1 far FP at score 0.95.
+
+    Derivation: sorted scores [0.95, 0.9 x10]; bin r has threshold =
+    ceil(10 r)-th score. The r = 0.1 bin selects only the FP (tp = 0,
+    bin contributes 0). Every other bin's threshold is 0.9: recall 1.0,
+    FP = 1, IDS = 0 -> MOTAR = 1 - 1/(1.0 * 10) = 0.9.
+    AMOTA = 39 bins * 0.9 / 40 bins = 0.87750 exactly.
+    """
+    gt = _gt_track()
+    preds = _preds_on(gt) + [
+        {
+            "sample_token": "f0",
+            "translation": [5000.0, 5000.0, 0.0],
+            "tracking_name": "car",
+            "tracking_id": "t_fp",
+            "tracking_score": 0.95,
+        }
+    ]
+    res = evaluate_tracking(gt, preds, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["amota"], 39 * 0.9 / 40)
+    assert res.per_class["car"]["fp"] == 1
+    assert res.amotp == 0.0
+
+
+def test_low_scoring_fp_is_cut_by_confidence_sweep():
+    """FP score 0.1 < TP score 0.9: every bin's threshold is 0.9 (ceil(10r)
+    <= 10 always indexes a TP score), the FP never passes -> AMOTA = 1."""
+    gt = _gt_track()
+    preds = _preds_on(gt) + [
+        {
+            "sample_token": "f0",
+            "translation": [5000.0, 5000.0, 0.0],
+            "tracking_name": "car",
+            "tracking_id": "t_fp",
+            "tracking_score": 0.1,
+        }
+    ]
+    res = evaluate_tracking(gt, preds, FRAMES)
+    assert res.per_class["car"]["amota"] == 1.0
+
+
+def test_one_id_switch_golden():
+    """Track splits into two ids at frame 5 -> exactly 1 IDS per bin, all
+    bins achieve recall 1 -> MOTAR = 1 - 1/10 = 0.9 in all 40 bins ->
+    AMOTA = 0.9; MOTA = 1 - 1/10 = 0.9."""
+    gt = _gt_track()
+    preds = _preds_on(gt[:5], track_id="tA") + _preds_on(gt[5:], track_id="tB")
+    res = evaluate_tracking(gt, preds, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["amota"], 0.9)
+    assert res.per_class["car"]["ids"] == 1
+    np.testing.assert_allclose(res.per_class["car"]["mota"], 0.9)
+
+
+def test_amotp_is_mean_match_distance():
+    """Predictions offset by exactly 1 m everywhere (within the 2 m gate):
+    recall 1 in every bin, AMOTP = 1.0."""
+    gt = _gt_track()
+    preds = _preds_on(gt)
+    for p in preds:
+        p["translation"][1] += 1.0
+    res = evaluate_tracking(gt, preds, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["amotp"], 1.0)
+    assert res.per_class["car"]["amota"] == 1.0
+
+
+def test_half_recall_golden():
+    """Only the first 5 of 10 GT are ever predicted (scores 0.9).
+
+    Derivation: max recall = 0.5. Bins with r <= 0.5 (r in linspace(0.1, 1,
+    40); 18 bins satisfy ceil(10r) <= 5 AND achieved recall 0.5 >= r):
+    threshold 0.9, tp = 5, FP = 0, IDS = 0, achieved recall = 0.5 ->
+    MOTAR = 1. Bins with r > 0.5 never achieve r -> contribute 0.
+    Count: ceil(10r) <= 5 means r <= 0.5; linspace(0.1, 1, 40) has step
+    0.9/39 ~ 0.023077; r_i = 0.1 + i * step <= 0.5 for i <= 17.33 -> 18
+    bins. AMOTA = 18/40 = 0.45.
+    """
+    gt = _gt_track()
+    preds = _preds_on(gt[:5])
+    res = evaluate_tracking(gt, preds, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["amota"], 18 / 40)
+    assert res.per_class["car"]["recall"] == 0.5

@@ -1,0 +1,98 @@
+"""CLI predict fast paths: the encode-once `encoded` pipeline (the mm
+default) must reproduce the re-encoding `windows` path, and the store-backed
+scene reconstruction must carry real yaw/velocity (not the round-1 zero
+fill)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.cli import main, _scene_from_store
+from batch3dmot_tpu.io import GraphStoreReader
+
+
+@pytest.fixture(scope="module")
+def mm_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_pipe")
+    common = [
+        "--set", f"paths.tmp={tmp}",
+        "--set", "graph_construction.batch_size_graph=3",
+        "--set", "graph_construction.top_knn_nodes=4",
+        "--set", "gnn.gnn_depth=2",
+        "--set", "gnn.batch_size=2",
+    ]
+    main(["build-graphs", "--synthetic", "2", *common])
+    main(["train-gnn", "--model", "mm", "--epochs", "1", *common])
+    ckpts = sorted(
+        glob.glob(os.path.join(tmp, "nuscenes", "models", "gnn", "*.msgpack")),
+        key=os.path.getmtime,
+    )
+    assert ckpts
+    return tmp, ckpts[-1], common
+
+
+def _edge_scores(eval_dir):
+    out = {}
+    for p in glob.glob(os.path.join(eval_dir, "predict", "*_edge_scores.json")):
+        out[os.path.basename(p)] = json.load(open(p))
+    return out
+
+
+def test_encoded_pipeline_matches_windows(mm_setup):
+    tmp, ckpt, common = mm_setup
+
+    def run(pipeline):
+        eval_dir = os.path.join(tmp, f"eval_{pipeline}")
+        main([
+            "predict", "--model", "mm", "--checkpoint", ckpt,
+            "--pipeline", pipeline,
+            *common,
+            "--set", f"paths.eval={eval_dir}",
+        ])
+        return _edge_scores(eval_dir)
+
+    sw = run("windows")
+    se = run("encoded")
+    assert sw.keys() == se.keys() and sw
+    for name in sw:
+        assert sw[name].keys() == se[name].keys()
+        a = np.array([sw[name][k] for k in sw[name]])
+        b = np.array([se[name][k] for k in sw[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_auto_pipeline_is_encoded_for_mm(mm_setup, capsys):
+    tmp, ckpt, common = mm_setup
+    eval_dir = os.path.join(tmp, "eval_auto")
+    main([
+        "predict", "--model", "mm", "--checkpoint", ckpt,
+        *common,
+        "--set", f"paths.eval={eval_dir}",
+    ])
+    assert "predict[encoded]" in capsys.readouterr().out
+
+
+def test_scene_from_store_restores_yaw_vel_and_modalities(mm_setup):
+    tmp, _, _ = mm_setup
+    store = glob.glob(os.path.join(tmp, "nuscenes", "graphs", "*.b3d"))[0]
+    windows = GraphStoreReader(store).windows()
+    scene = _scene_from_store(store, windows, with_modalities=True)
+    # synthetic scenes move: yaw/velocity must not be all-zero
+    assert np.abs(scene.vel_g).sum() > 0
+    assert scene.img is not None and scene.img.shape[1:] == (32, 32, 3)
+    assert scene.lidar is not None and scene.lidar.shape[1:] == (128, 3)
+    # modality rows must match the windows' node features exactly
+    w = windows[0]
+    np.testing.assert_array_equal(scene.img[w.det_index], w.img)
+
+
+def test_pose_rejects_encoded_pipeline(mm_setup):
+    tmp, ckpt, common = mm_setup
+    with pytest.raises(SystemExit):
+        main([
+            "predict", "--model", "pose", "--checkpoint", ckpt,
+            "--pipeline", "encoded", *common,
+        ])
