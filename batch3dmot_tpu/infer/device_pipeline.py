@@ -39,11 +39,20 @@ from batch3dmot_tpu.graphs.build_device import build_windows_device
 class DeviceScenePipeline:
     """scene arrays -> per-edge scores, one XLA program per shape bucket."""
 
-    def __init__(self, model, variables, window_len: int, k: int):
+    def __init__(self, model, variables, window_len: int, k: int, fused="auto"):
         self.model = model
         self.variables = variables
         self.window_len = window_len
         self.k = k
+        # fused Pallas MP kernel (see infer.predict.SceneEncodedScorer)
+        if fused == "auto":
+            fused = (
+                jax.default_backend() != "cpu"
+                and type(model).__name__ == "MultimodalGNN"
+                and getattr(model, "knn_conv_mode", "") == "noop"
+            )
+        self.fused = bool(fused)
+        self._interpret = jax.default_backend() == "cpu"
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
     def _get_fn(self, m_pad: int, num_windows: int, max_nodes: int):
@@ -73,8 +82,8 @@ class DeviceScenePipeline:
             n = max_nodes
             dummy = jnp.zeros((n, 0, 0, 0), jnp.float32)
 
-            def one(w):
-                graph = PaddedGraph(
+            def window_graph(w):
+                return PaddedGraph(
                     pose=g["pose"][w],
                     img=dummy,  # unused by forward_from_encodings
                     lidar=dummy,
@@ -89,14 +98,31 @@ class DeviceScenePipeline:
                     edge_label=g["edge_label"][w],
                     edge_weight=g["edge_weight"][w],
                 )
-                di = g["det_index"][w]
-                scores, _ = model.apply(
-                    variables, graph, x_img[di], pn[di], rn[di], lp[di], rp[di],
-                    method=model.forward_from_encodings,
-                )
-                return scores
 
-            scores = jax.vmap(one)(jnp.arange(num_windows))
+            if self.fused:
+                from batch3dmot_tpu.ops.pallas_mp import (
+                    fused_scores_from_encodings,
+                )
+
+                batch = jax.vmap(window_graph)(jnp.arange(num_windows))
+                det = g["det_index"]  # [W, N]
+                scores = fused_scores_from_encodings(
+                    model, variables, batch,
+                    x_img[det], pn[det], rn[det], lp[det], rp[det],
+                    interpret=self._interpret,
+                )
+            else:
+                def one(w):
+                    graph = window_graph(w)
+                    di = g["det_index"][w]
+                    scores, _ = model.apply(
+                        variables, graph, x_img[di], pn[di], rn[di],
+                        lp[di], rp[di],
+                        method=model.forward_from_encodings,
+                    )
+                    return scores
+
+                scores = jax.vmap(one)(jnp.arange(num_windows))
             # global (src, dst) detection indices per edge for host averaging
             det = g["det_index"]
             gsrc = jnp.take_along_axis(det, g["edge_src"], axis=1)

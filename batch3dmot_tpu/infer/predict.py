@@ -68,7 +68,9 @@ def make_scorer(model, variables, mesh=None) -> Callable:
     return lambda batch: run(shard(batch))
 
 
-def make_scene_encoded_scorer(model, variables, mesh=None) -> "SceneEncodedScorer":
+def make_scene_encoded_scorer(
+    model, variables, mesh=None, fused="auto"
+) -> "SceneEncodedScorer":
     """Encode-once inference for the multimodal GNN.
 
     The reference re-runs the frozen encoders on every node of every window,
@@ -77,11 +79,11 @@ def make_scene_encoded_scorer(model, variables, mesh=None) -> "SceneEncodedScore
     Here all detections of a scene are encoded in ONE dense device batch and
     the per-window forwards gather the embeddings by detection index.
     """
-    return SceneEncodedScorer(model, variables, mesh=mesh)
+    return SceneEncodedScorer(model, variables, mesh=mesh, fused=fused)
 
 
 class SceneEncodedScorer:
-    def __init__(self, model, variables, mesh=None):
+    def __init__(self, model, variables, mesh=None, fused="auto"):
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -98,6 +100,19 @@ class SceneEncodedScorer:
             self._replicate = lambda x: x
         self.variables = variables
 
+        # Fused Pallas message-passing kernel (ops/pallas_mp.py): ~1.6x the
+        # XLA forward at pipeline buckets on the real chip. auto = on-device
+        # single-chip MultimodalGNN in the reference 'noop' knn-conv mode.
+        if fused == "auto":
+            fused = (
+                jax.default_backend() != "cpu"
+                and mesh is None
+                and type(model).__name__ == "MultimodalGNN"
+                and getattr(model, "knn_conv_mode", "") == "noop"
+            )
+        self.fused = bool(fused)
+        interpret = jax.default_backend() == "cpu"
+
         @jax.jit
         def encode(img, lidar, radar):
             x_img, pn, rn = model.apply(
@@ -110,6 +125,17 @@ class SceneEncodedScorer:
         @jax.jit
         def fwd(batch, det_index, enc):
             x_img, pn, rn, lp, rp = enc
+
+            if self.fused:
+                from batch3dmot_tpu.ops.pallas_mp import (
+                    fused_scores_from_encodings,
+                )
+
+                return fused_scores_from_encodings(
+                    model, self.variables, batch,
+                    x_img[det_index], pn[det_index], rn[det_index],
+                    lp[det_index], rp[det_index], interpret=interpret,
+                )
 
             def one(g, idx):
                 scores, _ = model.apply(

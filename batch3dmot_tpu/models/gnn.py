@@ -207,16 +207,20 @@ class MultimodalGNN(nn.Module):
             g, x_img, pn, rn, lidar_present, radar_present
         )
 
-    def forward_from_encodings(
+    def pre_message_passing(
         self,
         g: PaddedGraph,
-        x_img: jax.Array,  # [N, 96]
-        pn: jax.Array,  # [N, 256] pointnet features
-        rn: jax.Array,  # [N, 256] radarnet features
-        lidar_present: jax.Array,  # [N] bool — vectorized form of the
-        radar_present: jax.Array,  # reference's per-node loop (:107-121)
-    ) -> Tuple[jax.Array, jax.Array]:
-        src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
+        x_img: jax.Array,
+        pn: jax.Array,
+        rn: jax.Array,
+        lidar_present: jax.Array,
+        radar_present: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Everything before the message-passing loop: (x0, edge_attr0,
+        att_edge_attr, x_sens). Exposed so the fused Pallas MP kernel
+        (:mod:`batch3dmot_tpu.ops.pallas_mp`) can take over from here at
+        inference."""
+        src, dst = g.edge_src, g.edge_dst
         has = lambda m: m in self.modalities
 
         edge_attr = self.edge_encoder(g.edge_attr)
@@ -265,8 +269,22 @@ class MultimodalGNN(nn.Module):
             )
 
         x_sens = jnp.concatenate([x_img, x_lidar, x_radar], axis=1)
-
         x = self.node_encoder(g.pose)
+        return x, edge_attr, att_edge_attr, x_sens
+
+    def forward_from_encodings(
+        self,
+        g: PaddedGraph,
+        x_img: jax.Array,  # [N, 96]
+        pn: jax.Array,  # [N, 256] pointnet features
+        rn: jax.Array,  # [N, 256] radarnet features
+        lidar_present: jax.Array,  # [N] bool — vectorized form of the
+        radar_present: jax.Array,  # reference's per-node loop (:107-121)
+    ) -> Tuple[jax.Array, jax.Array]:
+        src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
+        x, edge_attr, att_edge_attr, x_sens = self.pre_message_passing(
+            g, x_img, pn, rn, lidar_present, radar_present
+        )
         initial_x = x
 
         for layer in range(self.depth):

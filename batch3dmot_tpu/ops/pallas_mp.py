@@ -1,0 +1,289 @@
+"""Fused causal message-passing stack as ONE Pallas TPU kernel.
+
+The mm tracker forward spends its device time in the depth-6 message-passing
+loop (reference hot loop ``clr_att_gnn.py:178-186,288-300``): per layer an
+edge-update MLP, two message MLPs, two segment-sums and a node-combine MLP.
+The XLA lowering materializes every intermediate between ops; at the small
+per-window shapes this pipeline runs ((N, E) = (64, 512) buckets) that
+overhead holds it to ~75% of the f32 matmul roofline.
+
+This kernel runs the ENTIRE loop for one window per grid step with x
+[N, node_dim], edge_attr [E, edge_dim] and the one-hot gather/scatter tiles
+resident in VMEM across all 6 layers, plus the edge classifier — the
+roadmap item from round 1 (VERDICT.md #6).
+
+Design notes (TPU-first, not a translation):
+  * gathers/scatters are one-hot matmuls: x_j = oh_src @ x (MXU), scatter =
+    oh^T contraction — no dynamic indexing inside the kernel;
+  * every concat-then-matmul is rewritten as a sum of row-split matmuls
+    (x_i @ W[:96] + x_j @ W[96:192] + ...) — concat-free, pure MXU;
+  * masked edges have their one-hot rows zeroed OUTSIDE the kernel, so
+    padding contributes exactly zero to every aggregation (numerics match
+    the masked XLA path bit-for-bit up to f32 reassociation);
+  * inference-only: training keeps the autodiff-able XLA path.
+
+Weight layout contract with :class:`models.gnn.CausalMessagePassing` /
+``MultimodalGNN``/``PoseGNN`` (concat orders define the row splits):
+  edge_update in  = [x_i, x_j, edge_attr, att_edge_attr?]
+  future_msgs in  = [x_i, updated_edge, initial_x_i]
+  past_msgs  in   = [x_j, updated_edge, initial_x_j]
+  combine    in   = [agg_past, agg_future]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dense_chain(h, weights, biases, relu_last=False):
+    """h @ W0 + b0 -> relu -> ... (no relu after the last layer)."""
+    for i, (w, b) in enumerate(zip(weights, biases)):
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if relu_last or i < len(weights) - 1:
+            h = jnp.maximum(h, 0.0)
+    return h
+
+
+def _split_rows(w, sizes):
+    out = []
+    lo = 0
+    for s in sizes:
+        out.append(w[lo : lo + s])
+        lo += s
+    return tuple(out)
+
+
+def extract_mp_params(params: dict, with_attention: bool, node_dim: int,
+                      edge_dim: int) -> Tuple:
+    """Flatten the CausalMessagePassing + edge-classifier flax params into
+    the kernel's weight tuple (f32 numpy-backed jax arrays)."""
+    mp = params["message_passing"]
+
+    def chain(mod):
+        ws, bs = [], []
+        i = 0
+        while f"dense_{i}" in mod:
+            ws.append(mod[f"dense_{i}"]["kernel"])
+            bs.append(mod[f"dense_{i}"]["bias"][None, :])
+            i += 1
+        return ws, bs
+
+    eu_w, eu_b = chain(mp["edge_update"])
+    fut_w, fut_b = chain(mp["future_msgs"])
+    past_w, past_b = chain(mp["past_msgs"])
+    comb_w, comb_b = chain(mp["combine"])
+    cls_w, cls_b = chain(params["edge_classifier"])
+
+    # row-split the concat-consuming first layers
+    eu_sizes = [node_dim, node_dim, edge_dim] + ([edge_dim] if with_attention else [])
+    eu0 = _split_rows(eu_w[0], eu_sizes)
+    msg_sizes = [node_dim, edge_dim, node_dim]
+    fut0 = _split_rows(fut_w[0], msg_sizes)
+    past0 = _split_rows(past_w[0], msg_sizes)
+    m = comb_w[0].shape[0] // 2
+    comb0 = _split_rows(comb_w[0], [m, m])
+
+    flat = (
+        *eu0, *eu_w[1:], *eu_b,
+        *fut0, *fut_w[1:], *fut_b,
+        *past0, *past_w[1:], *past_b,
+        *comb0, *comb_w[1:], *comb_b,
+        *cls_w, *cls_b,
+    )
+    meta = dict(
+        n_eu0=len(eu0), n_eu=len(eu_w) - 1, n_eub=len(eu_b),
+        n_fut=len(fut_w) - 1, n_futb=len(fut_b),
+        n_past=len(past_w) - 1, n_pastb=len(past_b),
+        n_comb=len(comb_w) - 1, n_combb=len(comb_b),
+        n_cls=len(cls_w), n_clsb=len(cls_b),
+    )
+    return flat, meta
+
+
+def _unpack(meta, ws):
+    it = iter(ws)
+    take = lambda k: tuple(next(it) for _ in range(k))
+    eu0 = take(meta["n_eu0"])
+    eu_rest = take(meta["n_eu"])
+    eu_b = take(meta["n_eub"])
+    fut0 = take(3)
+    fut_rest = take(meta["n_fut"])
+    fut_b = take(meta["n_futb"])
+    past0 = take(3)
+    past_rest = take(meta["n_past"])
+    past_b = take(meta["n_pastb"])
+    comb0 = take(2)
+    comb_rest = take(meta["n_comb"])
+    comb_b = take(meta["n_combb"])
+    cls_w = take(meta["n_cls"])
+    cls_b = take(meta["n_clsb"])
+    return (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest,
+            past_b, comb0, comb_rest, comb_b, cls_w, cls_b)
+
+
+def _mp_kernel(meta, depth, with_attention, x0_ref, e0_ref, att_ref,
+               oh_src_ref, oh_dst_ref, *rest):
+    # pallas passes refs as (*inputs, *outputs): weights then the out ref
+    w_refs, out_ref = rest[:-1], rest[-1]
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
+        meta, tuple(r[:] for r in w_refs)
+    )
+    x0 = x0_ref[0]
+    e = e0_ref[0]
+    att = att_ref[0] if with_attention else None
+    oh_src = oh_src_ref[0]  # [E, N], masked rows zeroed
+    oh_dst = oh_dst_ref[0]
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    # initial_x gathers are loop-invariant: hoisted out of the 6 layers
+    init_j = dot(oh_src, x0)
+    init_i = dot(oh_dst, x0)
+    init_j_fut = dot(init_i, fut0[2])  # future uses init_i
+    init_j_past = dot(init_j, past0[2])
+
+    def layer(_, carry):
+        x, e = carry
+        x_j = dot(oh_src, x)
+        x_i = dot(oh_dst, x)
+
+        # edge update MLP, first layer concat-free
+        h = dot(x_i, eu0[0]) + dot(x_j, eu0[1]) + dot(e, eu0[2])
+        if with_attention:
+            h = h + dot(att, eu0[3])
+        h = jnp.maximum(h + eu_b[0], 0.0)
+        for w, b in zip(eu_rest, eu_b[1:]):
+            h = dot(h, w) + b
+            if w is not eu_rest[-1]:
+                h = jnp.maximum(h, 0.0)
+        ue = h
+
+        f = jnp.maximum(dot(x_i, fut0[0]) + dot(ue, fut0[1]) + init_j_fut + fut_b[0], 0.0)
+        for w, b in zip(fut_rest, fut_b[1:]):
+            f = dot(f, w) + b
+            if w is not fut_rest[-1]:
+                f = jnp.maximum(f, 0.0)
+
+        p = jnp.maximum(dot(x_j, past0[0]) + dot(ue, past0[1]) + init_j_past + past_b[0], 0.0)
+        for w, b in zip(past_rest, past_b[1:]):
+            p = dot(p, w) + b
+            if w is not past_rest[-1]:
+                p = jnp.maximum(p, 0.0)
+
+        # scatter-adds: contract the edge dimension of the one-hot tiles
+        agg_p = jax.lax.dot_general(
+            oh_dst, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        agg_f = jax.lax.dot_general(
+            oh_src, f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        c = jnp.maximum(dot(agg_p, comb0[0]) + dot(agg_f, comb0[1]) + comb_b[0], 0.0)
+        for w, b in zip(comb_rest, comb_b[1:]):
+            c = dot(c, w) + b
+            if w is not comb_rest[-1]:
+                c = jnp.maximum(c, 0.0)
+        return c, ue
+
+    x, e = jax.lax.fori_loop(0, depth, layer, (x0, e))
+
+    h = e
+    for i, (w, b) in enumerate(zip(cls_w, cls_b)):
+        h = dot(h, w) + b
+        if i < len(cls_w) - 1:
+            h = jnp.maximum(h, 0.0)
+    # out block is [1, 8, E] (sublane dim must be divisible by 8); the
+    # caller slices row 0
+    out_ref[0] = jnp.broadcast_to(h[:, 0][None, :], (8, h.shape[0]))
+
+
+def fused_mp_scores(
+    x0: jax.Array,  # [B, N, node_dim] encoded nodes
+    e0: jax.Array,  # [B, E, edge_dim] encoded edge attrs
+    att: Optional[jax.Array],  # [B, E, edge_dim] or None
+    src: jax.Array,  # [B, E] int32
+    dst: jax.Array,  # [B, E]
+    edge_mask: jax.Array,  # [B, E] bool
+    flat_weights: Tuple,
+    meta: dict,
+    depth: int,
+    logits: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scores [B, E] from the fused kernel (sigmoid unless ``logits``).
+
+    ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
+    b, n, _ = x0.shape
+    e = src.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, e, n), 2)
+    emask = edge_mask[..., None]
+    oh_src = ((iota == src[..., None]) & emask).astype(x0.dtype)
+    oh_dst = ((iota == dst[..., None]) & emask).astype(x0.dtype)
+    with_attention = att is not None
+    att_in = att if with_attention else jnp.zeros_like(e0)
+
+    kernel = functools.partial(_mp_kernel, meta, depth, with_attention)
+    win_spec = lambda *tail: pl.BlockSpec(
+        (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
+    )
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            win_spec(n, x0.shape[2]),
+            win_spec(e, e0.shape[2]),
+            win_spec(e, e0.shape[2]),
+            win_spec(e, n),
+            win_spec(e, n),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, e), jnp.float32),
+        interpret=interpret,
+    )(x0, e0, att_in, oh_src, oh_dst, *flat_weights)
+    out = out[:, 0, :]
+    return out if logits else jax.nn.sigmoid(out)
+
+
+def fused_scores_from_encodings(
+    model, variables, batch, x_img, pn, rn, lp, rp, interpret: bool = False
+) -> jax.Array:
+    """Drop-in fused-kernel replacement for the batched
+    ``forward_from_encodings`` score path: flax modules compute the pre-MP
+    stage, the Pallas kernel runs the loop + classifier. Inference only
+    (knn_conv must be in the reference 'noop' mode — the kernel has no
+    between-layer conv)."""
+    assert model.knn_conv_mode == "noop", "fused MP kernel: knn_conv_mode must be 'noop'"
+
+    def pre(g, a, b_, c, d, e_):
+        return model.apply(
+            variables, g, a, b_, c, d, e_, method=model.pre_message_passing
+        )
+
+    x0, e0, att, _ = jax.vmap(pre)(batch, x_img, pn, rn, lp, rp)
+    # MultimodalGNN's message passing ALWAYS consumes att_edge_attr — the
+    # use_attention flag only changes how it is computed (gnn.py:236-265)
+    flat, meta = extract_mp_params(
+        dict(variables)["params"], True, model.node_dim, model.edge_dim
+    )
+    return fused_mp_scores(
+        x0, e0, att,
+        batch.edge_src, batch.edge_dst, batch.edge_mask,
+        flat, meta, model.depth, interpret=interpret,
+    )

@@ -31,13 +31,20 @@ _ONEHOT_LIMIT = 32 * 1024 * 1024
 
 
 def _one_hot_matrix(
-    ids: jax.Array, num_segments: int, mask: Optional[jax.Array]
+    ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array],
+    dtype=jnp.float32,
 ) -> jax.Array:
-    """[N, E] one-hot selection matrix (f32), zero columns for masked edges."""
+    """[N, E] one-hot selection matrix, zero columns for masked edges.
+
+    dtype follows the data so a bf16 pipeline stays bf16 on the MXU (0/1
+    entries are exact in any float dtype; accumulation is f32 regardless via
+    preferred_element_type)."""
     seg = jax.lax.broadcasted_iota(jnp.int32, (num_segments, ids.shape[0]), 0)
-    onehot = (seg == ids[None, :]).astype(jnp.float32)
+    onehot = (seg == ids[None, :]).astype(dtype)
     if mask is not None:
-        onehot = onehot * mask.astype(jnp.float32)[None, :]
+        onehot = onehot * mask.astype(dtype)[None, :]
     return onehot
 
 
@@ -61,7 +68,10 @@ def segment_sum(
         method = "onehot" if num_segments * e <= _ONEHOT_LIMIT else "xla_scatter"
 
     if method == "onehot":
-        onehot = _one_hot_matrix(ids, num_segments, mask)
+        onehot = _one_hot_matrix(
+            ids, num_segments, mask,
+            dtype=data.dtype if jnp.issubdtype(data.dtype, jnp.floating) else jnp.float32,
+        )
         out = jnp.dot(onehot, data, preferred_element_type=jnp.float32).astype(
             data.dtype
         )

@@ -77,7 +77,16 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
     )
     from batch3dmot_tpu.models import MultimodalGNN
 
-    max_nodes, max_edges = 128, 1024
+    from batch3dmot_tpu.graph import pick_bucket
+
+    # The bucket the PRODUCT path (score_windows/SceneEncodedScorer via
+    # pick_bucket) would select for these windows — round 1 hardcoded
+    # (128, 1024), ~3x padding waste over the (64, 512) the pipeline
+    # actually uses at these window sizes.
+    max_nodes, max_edges = pick_bucket(
+        max(w.num_nodes for _, ws in scenes_windows for w in ws),
+        max(w.num_edges for _, ws in scenes_windows for w in ws),
+    )
     model = MultimodalGNN()
 
     # Pack every scene to IDENTICAL shapes (one m_pad, one window-batch
@@ -149,7 +158,9 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
     jax.block_until_ready(variables)
 
     def score_scene(c, mods, stacked, det_idx):
-        img, lidar, radar = (m + c * 0 for m in mods)
+        # the carry perturbation must be non-foldable (c * 0 is simplified
+        # away by XLA algsimp, which would hoist the body out of the scan)
+        img, lidar, radar = (m + c * 1e-30 for m in mods)
         x_img, pn, rn = model.apply(
             variables, img, lidar, radar, method=model.encode_frozen
         )
@@ -157,16 +168,20 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
         rp = radar.sum(axis=(1, 2)) != 0
 
         def body(c2, bd):
+            import dataclasses
+
+            from batch3dmot_tpu.ops.pallas_mp import fused_scores_from_encodings
+
             batch, idx = bd
-
-            def one(g, i):
-                scores, _ = model.apply(
-                    variables, g, x_img[i], pn[i], rn[i], lp[i], rp[i],
-                    method=model.forward_from_encodings,
-                )
-                return scores
-
-            s = jax.vmap(one)(batch, idx)
+            batch = jax.tree.map(
+                lambda x: x, batch
+            )
+            batch = dataclasses.replace(batch, pose=batch.pose + c2 * 1e-30)
+            # production scorer path: fused Pallas MP kernel
+            s = fused_scores_from_encodings(
+                model, variables, batch,
+                x_img[idx], pn[idx], rn[idx], lp[idx], rp[idx],
+            )
             return c2 + jnp.sum(s) * 1e-30, None
 
         c2, _ = jax.lax.scan(body, c, (stacked, det_idx))

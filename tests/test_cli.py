@@ -3,6 +3,8 @@
 import glob
 import os
 
+import pytest
+
 from batch3dmot_tpu.cli import main
 from batch3dmot_tpu.config import Config
 
@@ -17,6 +19,7 @@ def test_config_override_rederives_paths():
     assert cfg2.paths.models == "/keep/me"
 
 
+@pytest.mark.slow
 def test_cli_build_and_train(tmp_path, capsys):
     main([
         "build-graphs", "--synthetic", "1",

@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from batch3dmot_tpu.cli import main, _scene_from_store
 from batch3dmot_tpu.io import GraphStoreReader
 

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from batch3dmot_tpu.cli import main
 from batch3dmot_tpu.config import Config
 

@@ -1,0 +1,157 @@
+"""Fused Pallas message-passing kernel vs the XLA forward: numerics must
+match within f32 reassociation tolerance on real padded window batches
+(run through the Pallas interpreter on the CPU backend)."""
+
+import jax
+import numpy as np
+import pytest
+
+from batch3dmot_tpu.config import GraphConstructionConfig
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graph import batch_graphs, pad_graph
+from batch3dmot_tpu.graphs import build_scene_graphs
+from batch3dmot_tpu.models import MultimodalGNN
+from batch3dmot_tpu.ops.pallas_mp import fused_scores_from_encodings
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GraphConstructionConfig(top_knn_nodes=5)
+    scene = make_synthetic_scene(
+        seed=3, num_frames=6, num_tracks=6, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0][:4]
+    mn, me = 32, 128
+    graphs = [
+        pad_graph(
+            pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+            edge_attr=w.edge_attr, node_time=w.node_time,
+            node_class=w.node_class, max_nodes=mn, max_edges=me,
+            img=scene.img[w.det_index], lidar=scene.lidar[w.det_index],
+            radar=scene.radar[w.det_index],
+        )
+        for w in windows
+    ]
+    batch = batch_graphs(graphs)
+    return windows, batch
+
+
+def _encodings(model, variables, batch):
+    import jax.numpy as jnp
+
+    def enc(g):
+        xi, pn, rn = model.apply(
+            variables, g.img, g.lidar, g.radar, method=model.encode_frozen
+        )
+        lp = g.lidar.sum(axis=(1, 2)) != 0
+        rp = g.radar.sum(axis=(1, 2)) != 0
+        return xi, pn, rn, lp, rp
+
+    return jax.vmap(enc)(batch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("use_attention", [True, False])
+def test_fused_kernel_matches_xla_forward(setup, use_attention):
+    windows, batch = setup
+    model = MultimodalGNN(depth=3, use_attention=use_attention)
+    variables = jax.jit(model.init)(jax.random.key(0), jax.tree.map(lambda x: x[0], batch))
+
+    xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+
+    ref_scores, _ = jax.vmap(
+        lambda g, a, b, c, d, e: model.apply(
+            variables, g, a, b, c, d, e, method=model.forward_from_encodings
+        )
+    )(batch, xi, pn, rn, lp, rp)
+    fused = fused_scores_from_encodings(
+        model, variables, batch, xi, pn, rn, lp, rp, interpret=True
+    )
+
+    ref_scores = np.asarray(ref_scores)
+    fused = np.asarray(fused)
+    for k, w in enumerate(windows):
+        np.testing.assert_allclose(
+            fused[k, : w.num_edges], ref_scores[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_fused_kernel_full_depth(setup):
+    windows, batch = setup
+    model = MultimodalGNN()  # depth 6, production widths
+    variables = jax.jit(model.init)(jax.random.key(1), jax.tree.map(lambda x: x[0], batch))
+    xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+    ref_scores, _ = jax.vmap(
+        lambda g, a, b, c, d, e: model.apply(
+            variables, g, a, b, c, d, e, method=model.forward_from_encodings
+        )
+    )(batch, xi, pn, rn, lp, rp)
+    fused = fused_scores_from_encodings(
+        model, variables, batch, xi, pn, rn, lp, rp, interpret=True
+    )
+    for k, w in enumerate(windows):
+        np.testing.assert_allclose(
+            np.asarray(fused)[k, : w.num_edges],
+            np.asarray(ref_scores)[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+@pytest.mark.slow
+def test_scene_encoded_scorer_fused_integration(setup):
+    """SceneEncodedScorer(fused=True) through the interpreter must match the
+    default (XLA) scorer on a real scene."""
+    from batch3dmot_tpu.config import GraphConstructionConfig
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.graphs import build_scene_graphs
+    from batch3dmot_tpu.infer.predict import SceneEncodedScorer
+
+    cfg = GraphConstructionConfig(top_knn_nodes=5)
+    scene = make_synthetic_scene(
+        seed=5, num_frames=5, num_tracks=5, with_modalities=True
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
+    model = MultimodalGNN(depth=2)
+    _, batch = setup
+    variables = jax.jit(model.init)(
+        jax.random.key(2), jax.tree.map(lambda x: x[0], batch)
+    )
+    buckets = ((32, 128),)
+    plain = SceneEncodedScorer(model, variables, fused=False)
+    fused = SceneEncodedScorer(model, variables, fused=True)
+    s_plain = plain.score_scene(scene, windows, windows_per_batch=4, buckets=buckets)
+    s_fused = fused.score_scene(scene, windows, windows_per_batch=4, buckets=buckets)
+    for a, b in zip(s_plain, s_fused):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_device_pipeline_fused_matches_unfused():
+    """DeviceScenePipeline(fused=True) (interpreter) == fused=False scores."""
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+
+    scene = make_synthetic_scene(
+        seed=6, num_frames=5, num_tracks=4, with_modalities=True
+    )
+    model = MultimodalGNN(depth=2)
+    from batch3dmot_tpu.graph import pad_graph
+
+    g = pad_graph(
+        pose=np.zeros((4, 19), np.float32),
+        edge_src=np.zeros(4, np.int32), edge_dst=np.zeros(4, np.int32),
+        edge_attr=np.zeros((4, 4), np.float32),
+        node_time=np.zeros(4, np.int32), node_class=np.ones(4, np.int32),
+        max_nodes=8, max_edges=16,
+        img=np.zeros((4, 32, 32, 3), np.float32),
+        lidar=np.zeros((4, 128, 3), np.float32),
+        radar=np.zeros((4, 64, 4), np.float32),
+    )
+    variables = jax.jit(model.init)(jax.random.key(3), g)
+    plain = DeviceScenePipeline(model, variables, window_len=3, k=4, fused=False)
+    fused = DeviceScenePipeline(model, variables, window_len=3, k=4, fused=True)
+    a = plain.score_scene(scene)
+    b = fused.score_scene(scene)
+    assert set(a) == set(b) and a
+    for key in a:
+        assert abs(a[key] - b[key]) < 5e-4, key

@@ -432,6 +432,7 @@ class _TorchMMGNNRef(tnn.Module):
         return torch.sigmoid(self.edge_classifier(e)).squeeze(1)
 
 
+@pytest.mark.slow
 def test_mm_gnn_import_forward_parity(rng):
     """Full multimodal forward: reference-layout torch state dict imported
     into MultimodalGNN must reproduce the torch scores numerically."""

@@ -95,6 +95,7 @@ def test_trainer_eval_and_checkpoint(tmp_path):
     assert len(ckpts) == 1
 
 
+@pytest.mark.slow
 def test_multimodal_one_train_step():
     windows = _windows(1, with_mods=True)
     batcher = GraphBatcher(windows, batch_size=2, buckets=BUCKETS)
@@ -122,6 +123,7 @@ def test_frozen_encoders_do_not_update():
     np.testing.assert_array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_encoded_training_matches_raw():
     """Precomputed-encoding training must produce the same loss and
     gradients step as the raw-modality path (frozen encoders = constants)."""
