@@ -60,6 +60,21 @@ def _active_modalities(cfg: Config):
     return mods or ("img", "lidar", "radar")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for the product commands (first
+    remote compiles cost 10-300 s on this class of deployment; see
+    CLAUDE.md). No-op when a cache is already configured (tests pin their
+    own), disable with B3D_COMPILE_CACHE=''."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get("B3D_COMPILE_CACHE", "/tmp/b3d_compile_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _mesh_from_args(args):
     """N-device data-parallel mesh from --devices (None for single-device)."""
     n = getattr(args, "devices", None)
@@ -188,6 +203,7 @@ def _load_stores(cfg: Config):
 
 def cmd_train_gnn(args) -> None:
     cfg = _load_config(args)
+    _enable_compile_cache()
     from batch3dmot_tpu.io import GraphStoreReader
     from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
     from batch3dmot_tpu.train import GNNTrainer
@@ -296,6 +312,7 @@ def _encoder_cmd(args, make_trainer, prefix: str):
     ``--synthetic`` trains on random shape-compatible batches instead.
     """
     cfg = _load_config(args)
+    _enable_compile_cache()
     mesh = _mesh_from_args(args)
     enc_cfg = getattr(cfg, prefix)
     bs = enc_cfg.batch_size
@@ -410,6 +427,7 @@ def cmd_predict(args) -> None:
         pipeline=getattr(args, "pipeline", "auto"),
         mesh=_mesh_from_args(args),
         synthetic=getattr(args, "synthetic", 0),
+        aot_cache=getattr(args, "aot_cache", None),
     )
 
 
@@ -433,6 +451,7 @@ def _run_predict(
     pipeline: str = "auto",
     mesh=None,
     synthetic: int = 0,
+    aot_cache: Optional[str] = None,
 ):
     """Batched inference over graph stores (or, for the fully-fused device
     pipeline, over scenes built straight from source data).
@@ -447,6 +466,8 @@ def _run_predict(
         encoding + scoring on device; bypasses stores (mm only).
     """
     import jax
+
+    _enable_compile_cache()
 
     from batch3dmot_tpu.graph import pick_bucket
     from batch3dmot_tpu.infer.predict import (
@@ -513,6 +534,7 @@ def _run_predict(
             variables,
             cfg.predict.batch_size_graph,
             cfg.graph_construction.top_knn_nodes,
+            aot_dir=aot_cache,
         )
     else:
         raise SystemExit(f"Unknown pipeline '{pipeline}'")
@@ -909,6 +931,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "scoring straight from source data")
     p.add_argument("--synthetic", type=int, default=0,
                    help="(--pipeline device) predict N synthetic scenes")
+    p.add_argument("--aot-cache", type=str, default=None,
+                   help="(--pipeline device) dir of serialized AOT-exported "
+                        "programs; kills the cold remote compile for serving")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("concat-jsons")

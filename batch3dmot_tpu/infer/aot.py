@@ -1,0 +1,79 @@
+"""AOT compile/export cache for the big fused inference programs.
+
+The device pipeline's one-program-per-scene-shape design trades compile time
+for steady-state throughput; through this environment's remote-compile relay
+a cold compile of the fused program costs minutes (docs/RESULTS.md). This
+module serializes lowered+compiled programs (``jax.export``) to disk so a
+serving process starts hot: first run per shape exports, subsequent
+processes deserialize and skip XLA entirely.
+
+The serialized artifact embeds the StableHLO and the lowering platform —
+keyed here by (platform, shape-key, framework version) so a CPU-exported
+program is never fed to a TPU runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+from jax import export as jax_export
+
+_FORMAT_VERSION = 1
+
+
+def pytree_digest(tree) -> str:
+    """Short content digest of a pytree of arrays — exported programs bake
+    weights in as constants, so the cache key MUST change with the
+    checkpoint or stale programs would silently score with old weights."""
+    import numpy as np
+
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(tree):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
+def _artifact_path(cache_dir: str, name: str, key: str) -> str:
+    platform = jax.default_backend()
+    digest = hashlib.sha1(
+        f"{_FORMAT_VERSION}|{platform}|{name}|{key}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(cache_dir, f"{name}_{platform}_{digest}.jaxexport")
+
+
+def cached_jit(
+    fn: Callable,
+    name: str,
+    key: str,
+    cache_dir: Optional[str],
+    example_args: Sequence,
+):
+    """jit ``fn``, round-tripping through a serialized export on disk.
+
+    Returns a callable with ``fn``'s signature. Without ``cache_dir`` this
+    is plain ``jax.jit``. With it: deserialize the artifact if present
+    (no compile), else export+serialize after the first trace.
+    """
+    if cache_dir is None:
+        return jax.jit(fn)
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = _artifact_path(cache_dir, name, key)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            exported = jax_export.deserialize(bytearray(f.read()))
+        return exported.call
+
+    exported = jax_export.export(jax.jit(fn))(*example_args)
+    data = exported.serialize()
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: concurrent processes race safely
+    return exported.call

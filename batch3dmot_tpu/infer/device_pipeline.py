@@ -39,11 +39,21 @@ from batch3dmot_tpu.graphs.build_device import build_windows_device
 class DeviceScenePipeline:
     """scene arrays -> per-edge scores, one XLA program per shape bucket."""
 
-    def __init__(self, model, variables, window_len: int, k: int, fused="auto"):
+    def __init__(self, model, variables, window_len: int, k: int, fused="auto",
+                 aot_dir: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.window_len = window_len
         self.k = k
+        # serialize lowered programs to disk (infer/aot.py) so later
+        # processes skip the minutes-long cold remote compile; keyed by a
+        # weights digest — exports bake the checkpoint in as constants
+        self.aot_dir = aot_dir
+        self._var_digest = None
+        if aot_dir:
+            from batch3dmot_tpu.infer.aot import pytree_digest
+
+            self._var_digest = pytree_digest(variables)
         # fused Pallas MP kernel (see infer.predict.SceneEncodedScorer)
         if fused == "auto":
             fused = (
@@ -55,15 +65,10 @@ class DeviceScenePipeline:
         self._interpret = jax.default_backend() == "cpu"
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
-    def _get_fn(self, m_pad: int, num_windows: int, max_nodes: int):
-        key = (m_pad, num_windows, max_nodes)
-        if key in self._compiled:
-            return self._compiled[key]
-
+    def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int):
         model, variables = self.model, self.variables
         window_len, k = self.window_len, min(self.k, max_nodes)
 
-        @jax.jit
         def run(frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
                 wlh, class_id, score, token_id, det_mask, img, lidar, radar,
                 window_starts):
@@ -129,7 +134,6 @@ class DeviceScenePipeline:
             gdst = jnp.take_along_axis(det, g["edge_dst"], axis=1)
             return scores, gsrc, gdst, g["edge_mask"]
 
-        self._compiled[key] = run
         return run
 
     def score_scene(
@@ -168,8 +172,7 @@ class DeviceScenePipeline:
         window_starts = np.full(num_windows, 1 << 20, np.int32)
         window_starts[:real_windows] = np.arange(real_windows, dtype=np.int32)
 
-        run = self._get_fn(m_pad, num_windows, max_nodes)
-        scores, gsrc, gdst, emask = run(
+        args = (
             jnp.asarray(pad1(scene.frame_idx.astype(np.int32))),
             jnp.asarray(pad2(scene.center_g.astype(np.float32))),
             jnp.asarray(pad1(scene.yaw_g.astype(np.float32))),
@@ -187,6 +190,24 @@ class DeviceScenePipeline:
             padm(scene.radar, RADAR_SHAPE),
             jnp.asarray(window_starts),
         )
+        key = (m_pad, num_windows, max_nodes)
+        if key not in self._compiled:
+            fn = self._build_fn(m_pad, num_windows, max_nodes)
+            if self.aot_dir:
+                from batch3dmot_tpu.infer.aot import cached_jit
+
+                self._compiled[key] = cached_jit(
+                    fn,
+                    "device_pipeline",
+                    f"{m_pad}_{num_windows}_{max_nodes}_{self.window_len}_"
+                    f"{self.k}_{self.fused}_{type(self.model).__name__}_"
+                    f"{self._var_digest}",
+                    self.aot_dir,
+                    args,
+                )
+            else:
+                self._compiled[key] = jax.jit(fn)
+        scores, gsrc, gdst, emask = self._compiled[key](*args)
         from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
 
         sel = np.asarray(emask).reshape(-1)

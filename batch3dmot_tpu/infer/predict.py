@@ -40,14 +40,24 @@ from batch3dmot_tpu.graph import (
 from batch3dmot_tpu.train.data import to_padded
 
 
-def make_scorer(model, variables, mesh=None) -> Callable:
+def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
     """A jitted batched scorer: PaddedGraph[B, ...] -> scores [B, E].
 
     With ``mesh`` the window batch dimension is sharded across the data axis
     (multi-chip inference; params replicated, no collectives needed — each
     device scores its window shard independently over ICI-free SPMD).
+    ``fused='auto'`` uses the fused Pallas MP kernel on-device (single-chip,
+    'noop' knn-conv mode) for both model families.
     """
     from_logits = type(model).__name__ == "PoseGNN"
+
+    if fused == "auto":
+        fused = (
+            jax.default_backend() != "cpu"
+            and mesh is None
+            and getattr(model, "knn_conv_mode", "") == "noop"
+        )
+    interpret = jax.default_backend() == "cpu"
 
     shard = None
     if mesh is not None:
@@ -58,6 +68,17 @@ def make_scorer(model, variables, mesh=None) -> Callable:
 
     @jax.jit
     def run(batch):
+        if fused:
+            from batch3dmot_tpu.ops.pallas_mp import (
+                fused_logits_pose,
+                fused_scores_full,
+            )
+
+            if from_logits:
+                return jax.nn.sigmoid(
+                    fused_logits_pose(model, variables, batch, interpret=interpret)
+                )
+            return fused_scores_full(model, variables, batch, interpret=interpret)
         scores, _ = jax.vmap(lambda g: model.apply(variables, g))(batch)
         if from_logits:
             scores = jax.nn.sigmoid(scores)

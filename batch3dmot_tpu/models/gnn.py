@@ -322,10 +322,14 @@ class PoseGNN(nn.Module):
         )
         self.knn_conv = GATConv(self.node_dim)
 
+    def pre_message_passing(self, g: PaddedGraph) -> Tuple[jax.Array, jax.Array]:
+        """(x0, edge_attr0) — the fused-kernel handoff point (no modality
+        attention in the pose model)."""
+        return self.node_encoder(g.pose), self.edge_encoder(g.edge_attr)
+
     def __call__(self, g: PaddedGraph) -> Tuple[jax.Array, jax.Array]:
         src, dst, emask = g.edge_src, g.edge_dst, g.edge_mask
-        edge_attr = self.edge_encoder(g.edge_attr)
-        x = self.node_encoder(g.pose)
+        x, edge_attr = self.pre_message_passing(g)
         initial_x = x
         x_enc = x
 

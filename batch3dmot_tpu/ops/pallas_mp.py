@@ -287,3 +287,41 @@ def fused_scores_from_encodings(
         batch.edge_src, batch.edge_dst, batch.edge_mask,
         flat, meta, model.depth, interpret=interpret,
     )
+
+
+def fused_scores_full(model, variables, batch, interpret: bool = False) -> jax.Array:
+    """Fused-kernel replacement for the batched full ``__call__`` score
+    path of MultimodalGNN: frozen encoders run per window, then the kernel
+    (the `windows` pipeline's per-window re-encoding behavior, accelerated)."""
+
+    def enc(g):
+        xi, pn, rn = model.apply(
+            variables, g.img, g.lidar, g.radar, method=model.encode_frozen
+        )
+        lp = g.lidar.sum(axis=(1, 2)) != 0
+        rp = g.radar.sum(axis=(1, 2)) != 0
+        return xi, pn, rn, lp, rp
+
+    xi, pn, rn, lp, rp = jax.vmap(enc)(batch)
+    return fused_scores_from_encodings(
+        model, variables, batch, xi, pn, rn, lp, rp, interpret=interpret
+    )
+
+
+def fused_logits_pose(model, variables, batch, interpret: bool = False) -> jax.Array:
+    """Fused-kernel replacement for the batched PoseGNN forward: returns
+    LOGITS [B, E] (the pose classifier has no sigmoid, gnn.py:288-291)."""
+    assert model.knn_conv_mode == "noop", "fused MP kernel: knn_conv_mode must be 'noop'"
+
+    def pre(g):
+        return model.apply(variables, g, method=model.pre_message_passing)
+
+    x0, e0 = jax.vmap(pre)(batch)
+    flat, meta = extract_mp_params(
+        dict(variables)["params"], False, model.node_dim, model.edge_dim
+    )
+    return fused_mp_scores(
+        x0, e0, None,
+        batch.edge_src, batch.edge_dst, batch.edge_mask,
+        flat, meta, model.depth, logits=True, interpret=interpret,
+    )

@@ -1,0 +1,94 @@
+"""AOT export cache (infer/aot.py): round-trip equality, artifact reuse,
+and checkpoint-digest keying of the device pipeline."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graph import pad_graph
+from batch3dmot_tpu.infer.aot import cached_jit, pytree_digest
+from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+from batch3dmot_tpu.models import MultimodalGNN
+
+
+def test_cached_jit_roundtrip(tmp_path):
+    def fn(a, b):
+        return jnp.dot(a, b) + 1.0
+
+    x = jnp.ones((8, 16))
+    y = jnp.ones((16, 8))
+    direct = np.asarray(jax.jit(fn)(x, y))
+
+    f1 = cached_jit(fn, "t", "k1", str(tmp_path), (x, y))
+    np.testing.assert_allclose(np.asarray(f1(x, y)), direct)
+    arts = glob.glob(os.path.join(tmp_path, "*.jaxexport"))
+    assert len(arts) == 1
+
+    # second construction deserializes the artifact instead of re-exporting
+    before = os.path.getmtime(arts[0])
+    f2 = cached_jit(fn, "t", "k1", str(tmp_path), (x, y))
+    np.testing.assert_allclose(np.asarray(f2(x, y)), direct)
+    assert os.path.getmtime(arts[0]) == before
+
+    # a different key gets its own artifact
+    cached_jit(fn, "t", "k2", str(tmp_path), (x, y))
+    assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 2
+
+
+def _mm_pipeline(seed, tmp_path):
+    model = MultimodalGNN(depth=2)
+    g = pad_graph(
+        pose=np.zeros((4, 19), np.float32),
+        edge_src=np.zeros(4, np.int32), edge_dst=np.zeros(4, np.int32),
+        edge_attr=np.zeros((4, 4), np.float32),
+        node_time=np.zeros(4, np.int32), node_class=np.ones(4, np.int32),
+        max_nodes=8, max_edges=16,
+        img=np.zeros((4, 32, 32, 3), np.float32),
+        lidar=np.zeros((4, 128, 3), np.float32),
+        radar=np.zeros((4, 64, 4), np.float32),
+    )
+    variables = jax.jit(model.init)(jax.random.key(seed), g)
+    return DeviceScenePipeline(
+        model, variables, window_len=3, k=4, fused=False,
+        aot_dir=str(tmp_path),
+    )
+
+
+def test_device_pipeline_aot_matches_and_keys_on_weights(tmp_path):
+    scene = make_synthetic_scene(
+        seed=7, num_frames=5, num_tracks=4, with_modalities=True
+    )
+    p1 = _mm_pipeline(0, tmp_path)
+    scores_aot = p1.score_scene(scene)
+    arts = glob.glob(os.path.join(tmp_path, "*.jaxexport"))
+    assert len(arts) == 1
+
+    # plain pipeline, same weights: identical scores
+    plain = DeviceScenePipeline(
+        p1.model, p1.variables, window_len=3, k=4, fused=False
+    )
+    scores_plain = plain.score_scene(scene)
+    assert set(scores_aot) == set(scores_plain)
+    for key in scores_aot:
+        assert abs(scores_aot[key] - scores_plain[key]) < 1e-6
+
+    # a fresh process with the same weights deserializes (no new artifact)
+    p2 = _mm_pipeline(0, tmp_path)
+    p2.score_scene(scene)
+    assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 1
+
+    # different weights MUST produce a different artifact (stale-program guard)
+    p3 = _mm_pipeline(1, tmp_path)
+    p3.score_scene(scene)
+    assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 2
+
+
+def test_pytree_digest_changes_with_content():
+    a = {"w": jnp.ones((3, 3))}
+    b = {"w": jnp.ones((3, 3)) * 2}
+    assert pytree_digest(a) != pytree_digest(b)
+    assert pytree_digest(a) == pytree_digest({"w": jnp.ones((3, 3))})

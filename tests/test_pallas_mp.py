@@ -155,3 +155,52 @@ def test_device_pipeline_fused_matches_unfused():
     assert set(a) == set(b) and a
     for key in a:
         assert abs(a[key] - b[key]) < 5e-4, key
+
+
+def test_fused_pose_logits_match_xla():
+    """fused_logits_pose == PoseGNN.__call__ logits (interpreter)."""
+    from batch3dmot_tpu.models import PoseGNN
+    from batch3dmot_tpu.ops.pallas_mp import fused_logits_pose
+    from batch3dmot_tpu.graph import pad_graph, batch_graphs
+
+    cfg = GraphConstructionConfig(top_knn_nodes=5)
+    scene = make_synthetic_scene(seed=9, num_frames=6, num_tracks=6)
+    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0][:4]
+    graphs = [
+        pad_graph(
+            pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+            edge_attr=w.edge_attr, node_time=w.node_time,
+            node_class=w.node_class, max_nodes=32, max_edges=128,
+        )
+        for w in windows
+    ]
+    batch = batch_graphs(graphs)
+    model = PoseGNN(depth=4)
+    variables = jax.jit(model.init)(jax.random.key(0), graphs[0])
+    ref, _ = jax.vmap(lambda g: model.apply(variables, g))(batch)
+    fused = fused_logits_pose(model, variables, batch, interpret=True)
+    for k, w in enumerate(windows):
+        np.testing.assert_allclose(
+            np.asarray(fused)[k, : w.num_edges],
+            np.asarray(ref)[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_fused_full_forward_matches_call(setup):
+    """fused_scores_full == MultimodalGNN.__call__ scores (interpreter)."""
+    from batch3dmot_tpu.ops.pallas_mp import fused_scores_full
+
+    windows, batch = setup
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(4), jax.tree.map(lambda x: x[0], batch)
+    )
+    ref, _ = jax.vmap(lambda g: model.apply(variables, g))(batch)
+    fused = fused_scores_full(model, variables, batch, interpret=True)
+    for k, w in enumerate(windows):
+        np.testing.assert_allclose(
+            np.asarray(fused)[k, : w.num_edges],
+            np.asarray(ref)[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
