@@ -68,6 +68,7 @@ class GNNTrainer:
         init_variables: Optional[Dict] = None,
         shard_batch: Optional[Callable[[Any], Any]] = None,
         mesh=None,
+        fused: Any = "auto",
     ):
         self.model = model
         self.cfg = cfg or GNNConfig()
@@ -88,6 +89,18 @@ class GNNTrainer:
                 shard_batch = shard_batch_fn(mesh)
             self.shard_stacked = shard_batch_fn(mesh, axis=1)
         self.shard_batch = shard_batch or (lambda x: x)
+        # fused Pallas MP training kernels (forward + hand-written backward,
+        # ops/pallas_mp_train.py). Measured on the real chip they sit at
+        # PARITY with XLA's autodiff (1.60 vs 1.56 ms/step at bench shapes —
+        # the backward's rematerialization costs the efficiency the kernel
+        # wins; docs/RESULTS.md), so 'auto' currently resolves to OFF and the
+        # default training path stays XLA. The kernels remain available
+        # (fused=True), gradient-equivalence-tested against autodiff on
+        # every parameter leaf (tests/test_pallas_mp_train.py).
+        if fused == "auto":
+            fused = False
+        self.fused = bool(fused)
+        self._interpret = jax.default_backend() == "cpu"
 
         if (
             init_variables is None
@@ -147,6 +160,18 @@ class GNNTrainer:
     def _apply(self, params, extra, batch):
         """batch: PaddedGraph, or (PaddedGraph, encoding-tuple) from
         EncodedGraphBatcher (precomputed frozen-encoder outputs)."""
+        if self.fused:
+            from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
+
+            if isinstance(batch, tuple):
+                graph, enc = batch
+                return fused_training_scores(
+                    self.model, extra, params, graph, encodings=enc,
+                    interpret=self._interpret,
+                )
+            return fused_training_scores(
+                self.model, extra, params, batch, interpret=self._interpret
+            )
         variables = {"params": params, **extra}
         if isinstance(batch, tuple):
             graph, enc = batch
