@@ -217,15 +217,7 @@ def cmd_train_gnn(args) -> None:
     train_paths = store_paths[:-n_val_scenes] or store_paths
     val_paths = store_paths[-n_val_scenes:]
 
-    if args.model == "pose":
-        model = PoseGNN(depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode)
-    else:
-        model = MultimodalGNN(
-            depth=cfg.gnn.gnn_depth,
-            use_attention=cfg.gnn.attention,
-            knn_conv_mode=cfg.gnn.knn_conv_mode,
-            modalities=_active_modalities(cfg),
-        )
+    model = _make_cli_model(cfg, args.model)
 
     mesh = _mesh_from_args(args)
     if mesh is not None and cfg.gnn.batch_size % mesh.size:
@@ -254,17 +246,29 @@ def cmd_train_gnn(args) -> None:
         f"{len(train_batcher)} train batches/epoch"
     )
     log_dir = os.path.join(cfg.paths.models, "gnn")
-    history = trainer.fit(
-        train_batcher,
-        val_batcher,
-        epochs=args.epochs or cfg.gnn.num_epochs,
-        log_dir=log_dir,
-        version=cfg.main.version,
-        writer=MetricWriter(log_dir),
-        fused_steps=getattr(args, "fused_steps", 8),
-    )
+    with _maybe_profile(getattr(args, "profile", None)):
+        history = trainer.fit(
+            train_batcher,
+            val_batcher,
+            epochs=args.epochs or cfg.gnn.num_epochs,
+            log_dir=log_dir,
+            version=cfg.main.version,
+            writer=MetricWriter(log_dir),
+            fused_steps=getattr(args, "fused_steps", 8),
+        )
     print(f"train-gnn: done, checkpoints in {log_dir}")
     return history
+
+
+def _maybe_profile(log_dir: Optional[str]):
+    """jax.profiler trace context when --profile DIR is given."""
+    if not log_dir:
+        import contextlib
+
+        return contextlib.nullcontext()
+    from batch3dmot_tpu.utils.profiling import profile_trace
+
+    return profile_trace(log_dir)
 
 
 def _split_entries(anns: dict):
@@ -431,17 +435,29 @@ def cmd_predict(args) -> None:
     )
 
 
-def _predict_model(cfg: Config, model_kind: str):
-    from batch3dmot_tpu.models import MultimodalGNN, PoseGNN
+def _make_cli_model(cfg: Config, name: str):
+    """Model from a family name: 'mm'/'pose' take modalities/attention from
+    the config; reference family names (clr_att_gnn, cl_att_gnn,
+    cl_gnn_trad, gnn_baseline, gnn_transfer_cl...) fix them per the
+    registry (models/registry.py)."""
+    from batch3dmot_tpu.models import MultimodalGNN, PoseGNN, make_model
 
-    if model_kind == "pose":
+    if name == "mm":
+        return MultimodalGNN(
+            depth=cfg.gnn.gnn_depth,
+            use_attention=cfg.gnn.attention,
+            knn_conv_mode=cfg.gnn.knn_conv_mode,
+            modalities=_active_modalities(cfg),
+        )
+    if name == "pose":
         return PoseGNN(depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode)
-    return MultimodalGNN(
-        depth=cfg.gnn.gnn_depth,
-        use_attention=cfg.gnn.attention,
-        knn_conv_mode=cfg.gnn.knn_conv_mode,
-        modalities=_active_modalities(cfg),
+    return make_model(
+        name, depth=cfg.gnn.gnn_depth, knn_conv_mode=cfg.gnn.knn_conv_mode
     )
+
+
+def _predict_model(cfg: Config, model_kind: str):
+    return _make_cli_model(cfg, model_kind)
 
 
 def _run_predict(
@@ -485,15 +501,15 @@ def _run_predict(
     from batch3dmot_tpu.train.data import to_padded
     from batch3dmot_tpu.utils.checkpoint import load_checkpoint
 
-    if pipeline == "auto":
-        pipeline = "encoded" if model_kind == "mm" else "windows"
-    if model_kind == "pose" and pipeline in ("encoded", "device"):
-        raise SystemExit(
-            f"--pipeline {pipeline} applies to the multimodal model; "
-            "the pose model has no frozen encoders (use --pipeline windows)"
-        )
-
     model = _predict_model(cfg, model_kind)
+    is_pose = type(model).__name__ == "PoseGNN"
+    if pipeline == "auto":
+        pipeline = "windows" if is_pose else "encoded"
+    if is_pose and pipeline in ("encoded", "device"):
+        raise SystemExit(
+            f"--pipeline {pipeline} applies to the multimodal models; "
+            f"'{model_kind}' has no frozen encoders (use --pipeline windows)"
+        )
 
     if pipeline == "device":
         # no stores: scenes come straight from source data
@@ -814,11 +830,51 @@ def cmd_export_gt(args) -> None:
     print(f"export-gt: {len(boxes)} boxes over {len(frames)} frames -> {args.out}")
 
 
-def cmd_eval(args) -> None:
-    from batch3dmot_tpu.eval.tracking_metrics import evaluate_tracking
+def cmd_import_checkpoint(args) -> None:
+    """Convert a reference torch ``.pth`` checkpoint into this framework's
+    msgpack variables (bit-parity importers, ``utils/torch_import.py``;
+    forward-parity tested in ``tests/test_torch_import.py``)."""
+    from batch3dmot_tpu.utils import torch_import as ti
+    from batch3dmot_tpu.utils.checkpoint import save_checkpoint
 
+    importers = {
+        "resnet": lambda sd: ti.import_resnet_ae(sd),
+        "pointnet": ti.import_pointnet,
+        "radarnet": ti.import_radarnet,
+        "mm": ti.import_mm_gnn,
+        "pose": ti.import_pose_gnn,
+    }
+    import jax
+
+    sd = ti.load_torch_state_dict(args.torch)
+    variables = importers[args.arch](sd)
+    path = save_checkpoint(args.out, variables, metadata={"source": args.torch})
+    n = sum(np.asarray(x).size for x in jax.tree.leaves(variables))
+    print(f"import-checkpoint[{args.arch}]: {n} params {args.torch} -> {path}")
+
+
+def cmd_eval(args) -> None:
     with open(args.submission) as f:
         submission = json.load(f)
+
+    if not getattr(args, "devkit", False) and not args.gt:
+        raise SystemExit("eval: --gt is required (or pass --devkit)")
+    if getattr(args, "devkit", False):
+        # official nuScenes TrackingEval (requires nuscenes-devkit + dataset)
+        from batch3dmot_tpu.eval.nuscenes_eval import devkit_available, run_official_eval
+
+        if not devkit_available():
+            raise SystemExit(
+                "nuscenes-devkit is not installed; re-run without --devkit "
+                "to use the native AMOTA scorer"
+            )
+        cfg = _load_config(args)
+        metrics = run_official_eval(submission, cfg)
+        print(json.dumps(metrics))
+        return
+
+    from batch3dmot_tpu.eval.tracking_metrics import evaluate_tracking
+
     with open(args.gt) as f:
         gt = json.load(f)
     pred_boxes = [b for boxes in submission["results"].values() for b in boxes]
@@ -901,12 +957,22 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="skip scenes whose store already exists (resume)")
     p.set_defaults(fn=cmd_build_graphs)
 
+    from batch3dmot_tpu.models.registry import MODEL_REGISTRY
+
+    model_names = sorted(MODEL_REGISTRY)
+
     p = devices_arg(common(sub.add_parser("train-gnn")))
-    p.add_argument("--model", choices=["pose", "mm"], default="mm")
+    p.add_argument("--model", choices=model_names, default="mm",
+                   help="model family: short aliases (pose/mm) follow the "
+                        "config's sensors; reference family names "
+                        "(clr_att_gnn, cl_att_gnn, cl_gnn_trad, "
+                        "gnn_baseline, ...) fix their modalities")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--init-checkpoint", type=str, default=None)
     p.add_argument("--fused-steps", type=int, default=8,
                    help="optimizer steps fused into one device program")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
     p.set_defaults(fn=cmd_train_gnn)
 
     for name, fn in [
@@ -922,7 +988,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     p = devices_arg(common(sub.add_parser("predict")))
     p.add_argument("--checkpoint", type=str, default=None)
-    p.add_argument("--model", choices=["pose", "mm"], default="mm")
+    p.add_argument("--model", choices=model_names, default="mm")
     p.add_argument("--pipeline",
                    choices=["auto", "windows", "encoded", "device"],
                    default="auto",
@@ -948,8 +1014,20 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     p = common(sub.add_parser("eval"))
     p.add_argument("--submission", required=True)
-    p.add_argument("--gt", required=True)
+    p.add_argument("--gt", default=None,
+                   help="GT boxes JSON (export-gt output); required unless --devkit")
+    p.add_argument("--devkit", action="store_true",
+                   help="score with the official nuScenes TrackingEval "
+                        "(needs nuscenes-devkit + dataset) instead of the "
+                        "native scorer")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("import-checkpoint")
+    p.add_argument("--torch", required=True, help="reference .pth checkpoint")
+    p.add_argument("--arch", required=True,
+                   choices=["resnet", "pointnet", "radarnet", "mm", "pose"])
+    p.add_argument("--out", required=True, help="output .msgpack path")
+    p.set_defaults(fn=cmd_import_checkpoint)
 
     p = common(sub.add_parser("demo"))
     p.add_argument("--synthetic", type=int, default=3)

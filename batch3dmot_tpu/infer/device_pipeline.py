@@ -104,7 +104,11 @@ class DeviceScenePipeline:
                     edge_weight=g["edge_weight"][w],
                 )
 
-            if self.fused:
+            from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
+            if self.fused and fused_supported(
+                max_nodes, g["edge_src"].shape[1]
+            ):
                 from batch3dmot_tpu.ops.pallas_mp import (
                     fused_scores_from_encodings,
                 )

@@ -68,7 +68,11 @@ def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
 
     @jax.jit
     def run(batch):
-        if fused:
+        from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
+        if fused and fused_supported(
+            batch.pose.shape[1], batch.edge_src.shape[1]
+        ):
             from batch3dmot_tpu.ops.pallas_mp import (
                 fused_logits_pose,
                 fused_scores_full,
@@ -145,9 +149,13 @@ class SceneEncodedScorer:
 
         @jax.jit
         def fwd(batch, det_index, enc):
+            from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
             x_img, pn, rn, lp, rp = enc
 
-            if self.fused:
+            if self.fused and fused_supported(
+                batch.pose.shape[1], batch.edge_src.shape[1]
+            ):
                 from batch3dmot_tpu.ops.pallas_mp import (
                     fused_scores_from_encodings,
                 )

@@ -42,6 +42,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# VMEM ceiling for one window's working set. Measured on hardware: the
+# (128, 1024) bucket compiles and wins; (256, 2048) OOMs scoped VMEM at
+# 17.3 MB (> the 16 MB/core limit — one-hot tiles + live inputs + Mosaic's
+# double buffering). Callers fall back to XLA above this; larger buckets
+# would need an edge-tiled kernel variant.
+_FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
+
+
+def fused_supported(max_nodes: int, max_edges: int) -> bool:
+    """Whether the fused MP kernel's VMEM working set fits at this bucket."""
+    return max_edges * max_nodes <= _FUSED_MAX_EDGE_NODE_PRODUCT
+
+
 def _dense_chain(h, weights, biases, relu_last=False):
     """h @ W0 + b0 -> relu -> ... (no relu after the last layer)."""
     for i, (w, b) in enumerate(zip(weights, biases)):

@@ -160,7 +160,12 @@ class GNNTrainer:
     def _apply(self, params, extra, batch):
         """batch: PaddedGraph, or (PaddedGraph, encoding-tuple) from
         EncodedGraphBatcher (precomputed frozen-encoder outputs)."""
-        if self.fused:
+        graph_for_guard = batch[0] if isinstance(batch, tuple) else batch
+        from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
+        if self.fused and fused_supported(
+            graph_for_guard.pose.shape[1], graph_for_guard.edge_src.shape[1]
+        ):
             from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
 
             if isinstance(batch, tuple):
