@@ -186,8 +186,10 @@ DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
     (128, 1024),
     (128, 4096),
     (256, 2048),
+    (256, 4096),
     (256, 8192),
     (512, 4096),
+    (512, 8192),
     (512, 16384),
     (1024, 8192),
     (1024, 32768),
