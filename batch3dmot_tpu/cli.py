@@ -107,23 +107,35 @@ def cmd_build_graphs(args) -> None:
     out_dir = _store_dir(cfg)
     window_len = cfg.graph_construction.batch_size_graph
     t0 = time.time()
-    total_windows = total_edges = 0
+    total_windows = total_edges = n_scenes = 0
+    n_skipped = [0]
+
+    def already_built(scene_token: str) -> bool:
+        # idempotent / restartable per scene (the reference resumes by
+        # hand-slicing the scene list, SURVEY.md §5). The skip decision
+        # happens BEFORE any modality extraction so resume is actually cheap.
+        if getattr(args, "skip_existing", False) and os.path.exists(
+            os.path.join(out_dir, f"{scene_token}_len{window_len}.b3d")
+        ):
+            n_skipped[0] += 1
+            return True
+        return False
 
     if args.synthetic:
-        scenes = _build_synthetic_scenes(
-            cfg, args.synthetic, cfg.main.sensors_used.get("img", False)
+        scenes = iter(
+            _build_synthetic_scenes(
+                cfg, args.synthetic, cfg.main.sensors_used.get("img", False)
+            )
         )
     else:
-        scenes = _load_nuscenes_scenes(cfg)
+        # streamed: one scene's detections + modality arrays in memory at a
+        # time (a trainval scene carries ~10-100 MB of raw crops/clouds)
+        scenes = _load_nuscenes_scenes(cfg, skip=already_built)
 
     for scene in scenes:
-        # idempotent / restartable per scene (the reference resumes by
-        # hand-slicing the scene list, SURVEY.md §5)
-        out_path = os.path.join(
-            out_dir, f"{scene.scene_token}_len{window_len}.b3d"
-        )
-        if getattr(args, "skip_existing", False) and os.path.exists(out_path):
+        if args.synthetic and already_built(scene.scene_token):
             continue
+        n_scenes += 1
         windows = list(
             build_scene_graphs(scene, window_len, cfg.graph_construction)
         )
@@ -134,12 +146,19 @@ def cmd_build_graphs(args) -> None:
         total_edges += sum(w.num_edges for w in windows)
     dt = time.time() - t0
     print(
-        f"build-graphs: {len(scenes)} scenes, {total_windows} windows, "
-        f"{total_edges} edges -> {out_dir} in {dt:.1f}s"
+        f"build-graphs: {n_scenes} scenes ({n_skipped[0]} skipped), "
+        f"{total_windows} windows, {total_edges} edges -> {out_dir} in {dt:.1f}s"
     )
 
 
-def _load_nuscenes_scenes(cfg: Config):
+def _load_nuscenes_scenes(cfg: Config, skip=None):
+    """Generator over SceneDetections built from the tables + detector JSON.
+
+    Streams one scene at a time (a trainval scene's raw modality arrays are
+    ~10-100 MB — materializing a whole split would not fit) and applies the
+    ``skip(scene_token)`` predicate BEFORE the expensive per-detection
+    modality extraction so resumes are cheap.
+    """
     from batch3dmot_tpu.data.detections import load_detection_results, scene_from_frames
     from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
 
@@ -164,9 +183,10 @@ def _load_nuscenes_scenes(cfg: Config):
     want = tuple(
         m for m in ("img", "lidar", "radar") if cfg.main.sensors_used.get(m)
     )
-    scenes = []
     for split, metas in tables.split_scene_lists().items():
         for meta in metas:
+            if skip is not None and skip(meta["token"]):
+                continue
             toks, ego_t, ego_q = tables.scene_ego_poses(meta["token"])
             gt = tables.scene_gt(meta["token"])
             img = lidar = radar = None
@@ -178,16 +198,13 @@ def _load_nuscenes_scenes(cfg: Config):
                 img, lidar, radar = extract_detection_modalities(
                     tables, toks, dets, cfg, modalities=want
                 )
-            scenes.append(
-                scene_from_frames(
-                    meta["token"], toks, dets, gt, ego_t, ego_q,
-                    cfg.graph_construction,
-                    ego_rad_min=cfg.pointnet.ego_rad_min,
-                    ego_rad_max=cfg.pointnet.ego_rad_max,
-                    img=img, lidar=lidar, radar=radar,
-                )
+            yield scene_from_frames(
+                meta["token"], toks, dets, gt, ego_t, ego_q,
+                cfg.graph_construction,
+                ego_rad_min=cfg.pointnet.ego_rad_min,
+                ego_rad_max=cfg.pointnet.ego_rad_max,
+                img=img, lidar=lidar, radar=radar,
             )
-    return scenes
 
 
 def _load_stores(cfg: Config):
@@ -252,7 +269,10 @@ def cmd_train_gnn(args) -> None:
             val_batcher,
             epochs=args.epochs or cfg.gnn.num_epochs,
             log_dir=log_dir,
-            version=cfg.main.version,
+            # model family goes into the checkpoint name — a cl_att_gnn
+            # checkpoint loaded into an mm predict fails with an opaque
+            # flax restore error otherwise
+            version=f"{cfg.main.version}-{args.model}",
             writer=MetricWriter(log_dir),
             fused_steps=getattr(args, "fused_steps", 8),
         )
@@ -325,7 +345,7 @@ def _encoder_cmd(args, make_trainer, prefix: str):
         print(f"train-{prefix}: rounding batch_size to {bs} for {mesh.size} devices")
 
     if getattr(args, "synthetic", False):
-        batches = _synthetic_encoder_batches(prefix)
+        batches = _synthetic_encoder_batches(prefix, batch_size=bs)
         train_iter = lambda: iter(batches)  # noqa: E731
         val_iter = None
         steps_per_epoch = len(batches)
@@ -349,6 +369,20 @@ def _encoder_cmd(args, make_trainer, prefix: str):
         with open(anns_path) as f:
             anns = json.load(f)
         train_entries, val_entries = _split_entries(anns)
+        if prefix == "pointnet":
+            pred = lambda e: (  # noqa: E731 (mirrors lidar_batches)
+                e["num_lidar_pts"] > cfg.pointnet.min_lidar_pts
+                and cfg.pointnet.ego_rad_min < e["ann_ego_radius"] < cfg.pointnet.ego_rad_max
+            )
+        elif prefix == "radarnet":
+            pred = lambda e: (  # noqa: E731 (mirrors radar_batches)
+                e["num_radar_pts"] >= cfg.radarnet.min_radar_pts
+                and cfg.radarnet.ego_rad_min < e["ann_ego_radius"] < cfg.radarnet.ego_rad_max
+            )
+        else:
+            pred = lambda e: True  # noqa: E731
+        train_entries = [e for e in train_entries if pred(e)]
+        val_entries = [e for e in val_entries if pred(e)]
         if len(train_entries) < bs:
             raise SystemExit(
                 f"train-{prefix}: only {len(train_entries)} usable annotations "
@@ -456,10 +490,6 @@ def _make_cli_model(cfg: Config, name: str):
     )
 
 
-def _predict_model(cfg: Config, model_kind: str):
-    return _make_cli_model(cfg, model_kind)
-
-
 def _run_predict(
     cfg: Config,
     checkpoint: Optional[str],
@@ -501,10 +531,19 @@ def _run_predict(
     from batch3dmot_tpu.train.data import to_padded
     from batch3dmot_tpu.utils.checkpoint import load_checkpoint
 
-    model = _predict_model(cfg, model_kind)
+    model = _make_cli_model(cfg, model_kind)
     is_pose = type(model).__name__ == "PoseGNN"
+    if mesh is not None and cfg.predict.windows_per_batch % mesh.size:
+        cfg.predict.windows_per_batch = (
+            -(-cfg.predict.windows_per_batch // mesh.size) * mesh.size
+        )
     if pipeline == "auto":
         pipeline = "windows" if is_pose else "encoded"
+    if pipeline == "device" and mesh is not None:
+        raise SystemExit(
+            "--devices is not supported by the fused device pipeline yet; "
+            "use --pipeline encoded (sharded) or drop --devices"
+        )
     if is_pose and pipeline in ("encoded", "device"):
         raise SystemExit(
             f"--pipeline {pipeline} applies to the multimodal models; "
@@ -521,7 +560,7 @@ def _run_predict(
         variables = _init_variables_for_scene_model(cfg, model)
         if checkpoint:
             variables = load_checkpoint(checkpoint, variables)
-        scene_iter = [(s, None) for s in scenes]
+        scene_iter = ((s, None) for s in scenes)  # streamed
     else:
         paths = _load_stores(cfg)
         first = GraphStoreReader(paths[0]).window(0)
@@ -562,7 +601,9 @@ def _run_predict(
     track_offset = 0
     t0 = time.time()
     n_edges = 0
+    n_scenes = 0
     for scene, windows in scene_iter:
+        n_scenes += 1
         if pipeline == "device":
             from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
 
@@ -571,6 +612,8 @@ def _run_predict(
                 avg_scores, scene, cfg.predict.edge_score_thresholds
             )
             pred_edges = greedy_round(kept)
+            # the device pipeline returns averaged UNIQUE edges; other
+            # pipelines count raw per-window observations — label differs
             n_edges += len(avg_scores)
         else:
             pred_edges, avg_scores = predict_scene(scorer, scene, windows, cfg)
@@ -609,9 +652,10 @@ def _run_predict(
     sub_path = os.path.join(cfg.paths.eval, "submission.json")
     with open(sub_path, "w") as f:
         json.dump(submission, f)
+    unit = "unique edges" if pipeline == "device" else "edges"
     print(
-        f"predict[{pipeline}]: {len(scene_iter)} scenes, {n_edges} edges "
-        f"scored in {dt:.1f}s ({n_edges / max(dt, 1e-9):.0f} edges/s) "
+        f"predict[{pipeline}]: {n_scenes} scenes, {n_edges} {unit} "
+        f"scored in {dt:.1f}s ({n_edges / max(dt, 1e-9):.0f} {unit}/s) "
         f"-> {sub_path}"
     )
     return submission
@@ -1036,6 +1080,14 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     args = parser.parse_args(argv)
     return args.fn(args)
+
+
+def script_main() -> int:
+    """Console entry point (pyproject). main() returns command results for
+    in-process callers/tests; setuptools wraps the entry point in
+    sys.exit(fn()), so this discards them and returns a proper status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

@@ -208,10 +208,16 @@ class SceneEncodedScorer:
             windows_per_batch = (
                 -(-windows_per_batch // self.mesh.size) * self.mesh.size
             )
+        # encode inputs shard only when m_pad divides the mesh (m_pad is a
+        # multiple of 256; odd mesh sizes replicate the encode instead)
+        shard_m = (
+            self._shard if self.mesh is None or m_pad % self.mesh.size == 0
+            else self._replicate
+        )
         enc = self._encode(
-            self._shard(padm(scene.img, IMG_SHAPE)),
-            self._shard(padm(scene.lidar, LIDAR_SHAPE)),
-            self._shard(padm(scene.radar, RADAR_SHAPE)),
+            shard_m(padm(scene.img, IMG_SHAPE)),
+            shard_m(padm(scene.lidar, LIDAR_SHAPE)),
+            shard_m(padm(scene.radar, RADAR_SHAPE)),
         )
         # window forwards gather arbitrary detection rows -> encodings must
         # be fully replicated (one all-gather per scene)

@@ -55,15 +55,6 @@ def fused_supported(max_nodes: int, max_edges: int) -> bool:
     return max_edges * max_nodes <= _FUSED_MAX_EDGE_NODE_PRODUCT
 
 
-def _dense_chain(h, weights, biases, relu_last=False):
-    """h @ W0 + b0 -> relu -> ... (no relu after the last layer)."""
-    for i, (w, b) in enumerate(zip(weights, biases)):
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        if relu_last or i < len(weights) - 1:
-            h = jnp.maximum(h, 0.0)
-    return h
-
-
 def _split_rows(w, sizes):
     out = []
     lo = 0

@@ -175,6 +175,12 @@ class EncoderTrainer:
                 self.state, loss, aux = self._train_step(self.state, batch)
                 losses.append(float(loss))
                 auxs.append({k: float(v) for k, v in aux.items()})
+            if not losses:
+                raise RuntimeError(
+                    "encoder training epoch produced no batches — too few "
+                    "annotations survive the min-points/ego-radius filters "
+                    "for this batch size"
+                )
             m = {"train/loss": float(np.mean(losses))}
             for k in auxs[0]:
                 m[f"train/{k}"] = float(np.mean([a[k] for a in auxs]))
@@ -185,8 +191,9 @@ class EncoderTrainer:
                     loss, aux = self._eval_step(self.state, batch)
                     vl.append(float(loss))
                     va.append({k: float(v) for k, v in aux.items()})
-                m["val/loss"] = float(np.mean(vl))
-                for k in va[0]:
+                if vl:
+                    m["val/loss"] = float(np.mean(vl))
+                for k in (va[0] if va else {}):
                     m[f"val/{k}"] = float(np.mean([a[k] for a in va]))
             m["epoch_time_s"] = time.time() - t0
             history.append(m)

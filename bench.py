@@ -173,15 +173,25 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
             from batch3dmot_tpu.ops.pallas_mp import fused_scores_from_encodings
 
             batch, idx = bd
-            batch = jax.tree.map(
-                lambda x: x, batch
-            )
             batch = dataclasses.replace(batch, pose=batch.pose + c2 * 1e-30)
-            # production scorer path: fused Pallas MP kernel
-            s = fused_scores_from_encodings(
-                model, variables, batch,
-                x_img[idx], pn[idx], rn[idx], lp[idx], rp[idx],
-            )
+            # production scorer path: fused Pallas MP kernel (same VMEM
+            # guard as the scorers — falls back to XLA at big buckets)
+            from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
+            if fused_supported(max_nodes, max_edges):
+                s = fused_scores_from_encodings(
+                    model, variables, batch,
+                    x_img[idx], pn[idx], rn[idx], lp[idx], rp[idx],
+                )
+            else:
+                def one(g, i):
+                    scores, _ = model.apply(
+                        variables, g, x_img[i], pn[i], rn[i], lp[i], rp[i],
+                        method=model.forward_from_encodings,
+                    )
+                    return scores
+
+                s = jax.vmap(one)(batch, idx)
             return c2 + jnp.sum(s) * 1e-30, None
 
         c2, _ = jax.lax.scan(body, c, (stacked, det_idx))

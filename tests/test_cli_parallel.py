@@ -82,3 +82,33 @@ def test_predict_devices_matches_single(built):
         a = np.array([s1[name][k] for k in s1[name]])
         b = np.array([s2[name][k] for k in s1[name]])
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_devices_non_power_of_two(built):
+    """--devices 3 must work: windows_per_batch rounds up to the mesh size
+    (review finding: any non-divisor N used to crash in shard_batch_fn)."""
+    tmp = built
+    ckpts = sorted(
+        glob.glob(os.path.join(tmp, "m1", "gnn", "*.msgpack")),
+        key=os.path.getmtime,
+    )
+    main([
+        "predict", "--model", "pose", "--checkpoint", ckpts[-1],
+        "--devices", "3",
+        "--set", f"paths.tmp={tmp}",
+        "--set", f"paths.eval={os.path.join(tmp, 'e3')}",
+        "--set", "gnn.gnn_depth=2",
+    ])
+    assert os.path.exists(os.path.join(tmp, "e3", "submission.json"))
+
+
+def test_build_graphs_skip_existing_counts(built, capsys):
+    tmp = built
+    main([
+        "build-graphs", "--synthetic", "2", "--skip-existing",
+        "--set", f"paths.tmp={tmp}",
+        "--set", "graph_construction.batch_size_graph=3",
+        "--set", "graph_construction.top_knn_nodes=4",
+    ])
+    out = capsys.readouterr().out
+    assert "(2 skipped)" in out and "0 windows" in out

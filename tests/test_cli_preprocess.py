@@ -95,3 +95,28 @@ def test_concat_jsons(tmp_path):
     assert [e["x"] for e in merged["train"]] == [1, 3]
     assert [e["x"] for e in merged["val"]] == [2]
     assert [e["x"] for e in merged["test"]] == [4]
+
+
+def test_encoder_cli_counts_filtered_entries(preprocessed, tmp_path):
+    """The batch-size guard must count entries AFTER the min-points/ego
+    filters (review finding: a filtered-empty iterator used to crash with
+    IndexError deep in the trainer)."""
+    tmp, pre, common = preprocessed
+    import shutil
+
+    pre2 = tmp_path / "pre2"
+    shutil.copytree(pre, pre2)
+    anns_path = pre2 / "processed_lidar_anns.json"
+    anns = json.load(open(anns_path))
+    for entries in anns.values():
+        for e in entries:
+            e["num_lidar_pts"] = 0  # below min -> all filtered
+    anns_path.write_text(json.dumps(anns))
+    with pytest.raises(SystemExit, match="usable annotations"):
+        main([
+            "train-pointnet", "--epochs", "1",
+            "--set", f"paths.data={tmp}",  # unused for lidar
+            "--set", f"paths.tmp={tmp}",
+            "--set", f"paths.preprocessed={pre2}",
+            "--set", "pointnet.batch_size=2",
+        ])
