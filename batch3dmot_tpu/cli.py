@@ -218,6 +218,59 @@ def _load_stores(cfg: Config):
     return paths
 
 
+def _graft_encoder_checkpoints(args, trainer) -> None:
+    """Load separately-trained encoder checkpoints into the tracker's frozen
+    submodules (the reference composes its tracker from three pretrained
+    encoder .pth files, ``train.py:54-61``). Only leaves that exist in the
+    GNN's tree are taken (standalone encoder checkpoints also carry their
+    classification heads / decoder, which the GNN never instantiates), so
+    the optimizer state built from the original tree stays valid."""
+    wanted = [
+        (name, getattr(args, f"{name}_checkpoint", None))
+        for name in ("resnet", "pointnet", "radarnet")
+    ]
+    if not any(path for _, path in wanted):
+        return
+    from flax import serialization
+
+    def take_matching(dst, src, where):
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if k not in src:
+                    raise SystemExit(
+                        f"encoder checkpoint missing '{where}/{k}' — wrong "
+                        f"architecture for this submodule?"
+                    )
+                out[k] = take_matching(v, src[k], f"{where}/{k}")
+            return out
+        if hasattr(dst, "shape") and tuple(dst.shape) != tuple(src.shape):
+            raise SystemExit(
+                f"encoder checkpoint shape mismatch at '{where}': "
+                f"{tuple(src.shape)} vs expected {tuple(dst.shape)}"
+            )
+        return src
+
+    variables = trainer.variables
+    for name, path in wanted:
+        if not path:
+            continue
+        with open(path, "rb") as f:
+            enc = serialization.msgpack_restore(f.read())
+        for coll in ("params", "batch_stats"):
+            if coll in variables and name in variables[coll]:
+                variables[coll] = dict(variables[coll])
+                variables[coll][name] = take_matching(
+                    variables[coll][name], enc.get(coll, {}), f"{name}/{coll}"
+                )
+        print(f"train-gnn: grafted frozen {name} encoder from {path}")
+    variables = dict(variables)
+    params = variables.pop("params")
+    trainer.state = trainer.state.replace(
+        params=params, extra_variables=variables
+    )
+
+
 def cmd_train_gnn(args) -> None:
     cfg = _load_config(args)
     _enable_compile_cache()
@@ -256,8 +309,48 @@ def cmd_train_gnn(args) -> None:
         trainer.state = trainer.state.replace(
             params=trainer_vars.pop("params"), extra_variables=trainer_vars
         )
-    train_batcher = make_batcher(train_paths, cfg.gnn.batch_size)
-    val_batcher = make_batcher(val_paths, cfg.gnn.batch_size) if val_paths else None
+    _graft_encoder_checkpoints(args, trainer)
+
+    if getattr(args, "encoded", False):
+        # Precompute the frozen encoders ONCE per scene and train the GNN on
+        # gathered embeddings: with window length L and E epochs this
+        # removes a ~L*E factor of the dominant FLOPs (train/encoded.py; the
+        # reference re-encodes every node of every window on every epoch,
+        # clr_att_gnn.py:125-141).
+        if type(model).__name__ == "PoseGNN":
+            raise SystemExit("--encoded applies to the multimodal models only")
+        from batch3dmot_tpu.train.encoded import (
+            EncodedGraphBatcher,
+            precompute_scene_encodings,
+        )
+
+        def encoded_items(paths):
+            items = []
+            for path in paths:
+                windows = GraphStoreReader(path).windows()
+                scene = _scene_from_store(path, windows, with_modalities=True)
+                if scene.img is None and scene.lidar is None and scene.radar is None:
+                    raise SystemExit(
+                        f"--encoded: {path} carries no modality arrays; "
+                        "build graphs with sensors enabled"
+                    )
+                enc = precompute_scene_encodings(model, trainer.variables, scene)
+                items.extend((w, enc) for w in windows)
+            return items
+
+        train_batcher = EncodedGraphBatcher(
+            encoded_items(train_paths), cfg.gnn.batch_size
+        )
+        val_batcher = (
+            EncodedGraphBatcher(encoded_items(val_paths), cfg.gnn.batch_size)
+            if val_paths
+            else None
+        )
+    else:
+        train_batcher = make_batcher(train_paths, cfg.gnn.batch_size)
+        val_batcher = (
+            make_batcher(val_paths, cfg.gnn.batch_size) if val_paths else None
+        )
     print(
         f"train-gnn: {len(store_paths)} scene stores, "
         f"{len(train_batcher)} train batches/epoch"
@@ -1017,6 +1110,14 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="optimizer steps fused into one device program")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
+    p.add_argument("--encoded", action="store_true",
+                   help="precompute the frozen encoders once per scene and "
+                        "train on gathered embeddings (removes the L-fold "
+                        "per-window re-encoding)")
+    for enc in ("resnet", "pointnet", "radarnet"):
+        p.add_argument(f"--{enc}-checkpoint", type=str, default=None,
+                       help=f"graft a pretrained {enc} encoder checkpoint "
+                            "into the tracker's frozen submodule")
     p.set_defaults(fn=cmd_train_gnn)
 
     for name, fn in [

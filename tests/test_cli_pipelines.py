@@ -98,3 +98,36 @@ def test_pose_rejects_encoded_pipeline(mm_setup):
             "predict", "--model", "pose", "--checkpoint", ckpt,
             "--pipeline", "encoded", *common,
         ])
+
+
+def test_train_gnn_encoded_with_grafted_encoders(mm_setup, tmp_path, capsys):
+    """CLI --encoded trains on precomputed embeddings, with a pretrained
+    encoder checkpoint grafted into the tracker (reference train.py:54-61)."""
+    tmp, _, common = mm_setup
+
+    # train a resnet encoder (synthetic) and graft it
+    main([
+        "train-resnet", "--epochs", "1", "--synthetic",
+        "--set", f"paths.tmp={tmp_path}",
+    ])
+    enc_ck = sorted(
+        glob.glob(os.path.join(tmp_path, "nuscenes", "models", "resnet", "*.msgpack")),
+        key=os.path.getmtime,
+    )[-1]
+
+    history = main([
+        "train-gnn", "--model", "mm", "--epochs", "1", "--encoded",
+        "--resnet-checkpoint", enc_ck,
+        *common,
+        "--set", f"paths.models={tmp_path}/models2",
+    ])
+    out = capsys.readouterr().out
+    assert "grafted frozen resnet encoder" in out
+    assert history and np.isfinite(history[0]["train/loss"])
+    assert glob.glob(os.path.join(str(tmp_path), "models2", "gnn", "*mm*.msgpack"))
+
+
+def test_train_gnn_encoded_rejects_pose(mm_setup):
+    tmp, _, common = mm_setup
+    with pytest.raises(SystemExit, match="multimodal"):
+        main(["train-gnn", "--model", "pose", "--encoded", "--epochs", "1", *common])
