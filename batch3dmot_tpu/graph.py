@@ -182,6 +182,7 @@ def empty_graph(
 # high-edge variants cover trainval graphs (top_knn_nodes=40 gives up to
 # ~40 edges per node, far above the 8x ratio of the small buckets).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (64, 256),
     (64, 512),
     (128, 1024),
     (128, 4096),

@@ -40,6 +40,20 @@ from batch3dmot_tpu.graph import (
 from batch3dmot_tpu.train.data import to_padded
 
 
+def _pad_detection_count(m: int) -> int:
+    """Padded per-scene detection count for the encode-once batch.
+
+    Multiples of 64 below 512 (fine enough that small demo/mini scenes don't
+    pay up to 2x encoder waste, coarse enough to bound compile-cache
+    variants), multiples of 256 above (trainval scenes run thousands of
+    detections — 256 keeps the variant count low at <2% waste). Every value
+    divides the usual mesh sizes (2/4/8/16/32/64) for sharded encodes.
+    """
+    if m <= 512:
+        return max(64, -(-m // 64) * 64)
+    return -(-m // 256) * 256
+
+
 def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
     """A jitted batched scorer: PaddedGraph[B, ...] -> scores [B, E].
 
@@ -94,7 +108,7 @@ def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
 
 
 def make_scene_encoded_scorer(
-    model, variables, mesh=None, fused="auto"
+    model, variables, mesh=None, fused="auto", encode_dtype=None
 ) -> "SceneEncodedScorer":
     """Encode-once inference for the multimodal GNN.
 
@@ -104,11 +118,14 @@ def make_scene_encoded_scorer(
     Here all detections of a scene are encoded in ONE dense device batch and
     the per-window forwards gather the embeddings by detection index.
     """
-    return SceneEncodedScorer(model, variables, mesh=mesh, fused=fused)
+    return SceneEncodedScorer(
+        model, variables, mesh=mesh, fused=fused, encode_dtype=encode_dtype
+    )
 
 
 class SceneEncodedScorer:
-    def __init__(self, model, variables, mesh=None, fused="auto"):
+    def __init__(self, model, variables, mesh=None, fused="auto",
+                 encode_dtype=None):
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -138,14 +155,41 @@ class SceneEncodedScorer:
         self.fused = bool(fused)
         interpret = jax.default_backend() == "cpu"
 
+        # Optional reduced-precision encode: the frozen encoders are the
+        # FLOPs-heavy stage (PointNet/RadarNet 128->1024 point MLPs) and are
+        # MXU matmuls end to end, so bf16 halves their time; embeddings are
+        # cast back to f32 for the message-passing stage. Presence flags are
+        # computed from the f32 inputs (a bf16 sum could round a tiny cloud
+        # to zero). Default None keeps full f32 (bit-parity with the
+        # reference's CPU inference, docs/PARITY.md).
+        import jax.numpy as jnp
+
+        enc_dtype = jnp.dtype(encode_dtype) if encode_dtype else None
+        self.encode_dtype = enc_dtype
+        if enc_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(enc_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+            enc_variables = cast(variables)
+        else:
+            enc_variables = variables
+
         @jax.jit
         def encode(img, lidar, radar):
-            x_img, pn, rn = model.apply(
-                variables, img, lidar, radar, method=model.encode_frozen
-            )
             lp = (lidar.sum(axis=(1, 2)) != 0)
             rp = (radar.sum(axis=(1, 2)) != 0)
-            return x_img, pn, rn, lp, rp
+            if enc_dtype is not None:
+                img = img.astype(enc_dtype)
+                lidar = lidar.astype(enc_dtype)
+                radar = radar.astype(enc_dtype)
+            x_img, pn, rn = model.apply(
+                enc_variables, img, lidar, radar, method=model.encode_frozen
+            )
+            f32 = jnp.float32
+            return x_img.astype(f32), pn.astype(f32), rn.astype(f32), lp, rp
 
         @jax.jit
         def fwd(batch, det_index, enc):
@@ -194,7 +238,7 @@ class SceneEncodedScorer:
         import jax.numpy as jnp
 
         m = scene.num_detections
-        m_pad = max(256, -(-m // 256) * 256)  # bucket to multiples of 256
+        m_pad = _pad_detection_count(m)
 
         def padm(a, shape_tail):
             out = np.zeros((m_pad, *shape_tail), np.float32)
@@ -209,7 +253,7 @@ class SceneEncodedScorer:
                 -(-windows_per_batch // self.mesh.size) * self.mesh.size
             )
         # encode inputs shard only when m_pad divides the mesh (m_pad is a
-        # multiple of 256; odd mesh sizes replicate the encode instead)
+        # multiple of 64; odd mesh sizes replicate the encode instead)
         shard_m = (
             self._shard if self.mesh is None or m_pad % self.mesh.size == 0
             else self._replicate

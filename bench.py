@@ -91,9 +91,12 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
 
     # Pack every scene to IDENTICAL shapes (one m_pad, one window-batch
     # count) so all scenes stack into a single lax.scan — one compact XLA
-    # program instead of per-scene inlining.
+    # program instead of per-scene inlining. Detection padding follows the
+    # product scorer's quantum (infer.predict._pad_detection_count).
+    from batch3dmot_tpu.infer.predict import _pad_detection_count
+
     m_pad = max(
-        -(-s.num_detections // 256) * 256 for s, _ in scenes_windows
+        _pad_detection_count(s.num_detections) for s, _ in scenes_windows
     )
     nb = max(
         -(-len(ws) // batch_size) for _, ws in scenes_windows

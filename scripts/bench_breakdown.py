@@ -168,14 +168,30 @@ def main():
             )(b, xi + c * 1e-30, pn + c * 1e-30, rn + c * 1e-30, lp, rp)
             return jnp.sum(scores.astype(jnp.float32))
 
+        def enc_bf(c, b):
+            c = c.astype(bf)
+            xi, pn, rn = jax.vmap(
+                lambda g: model.apply(
+                    variables_bf, g.img + c * 1e-30, g.lidar + c * 1e-30,
+                    g.radar + c * 1e-30, method=model.encode_frozen,
+                )
+            )(b)
+            return (
+                jnp.sum(xi.astype(jnp.float32))
+                + jnp.sum(pn.astype(jnp.float32))
+                + jnp.sum(rn.astype(jnp.float32))
+            )
+
         t_full_bf = diff_time(full_bf, (batch_bf,))
+        t_enc_bf = diff_time(enc_bf, (batch_bf,))
         t_gnn_bf = diff_time(
             gnn_bf, (batch_bf, xi.astype(bf), pn.astype(bf), rn.astype(bf), lp, rp)
         )
         print(
             f"bucket ({mn},{me}): full {t_full*1e3:.2f} ms | encoders "
             f"{t_enc*1e3:.2f} ms | gnn {t_gnn*1e3:.2f} ms | "
-            f"bf16 full {t_full_bf*1e3:.2f} ms gnn {t_gnn_bf*1e3:.2f} ms | "
+            f"bf16 full {t_full_bf*1e3:.2f} ms enc {t_enc_bf*1e3:.2f} ms "
+            f"gnn {t_gnn_bf*1e3:.2f} ms | "
             f"{real_edges} real edges -> {real_edges/t_full/1e3:.0f}k (f32) / "
             f"{real_edges/t_full_bf/1e3:.0f}k (bf16) edges/s"
         )
@@ -191,9 +207,13 @@ def bench_fused_kernel():
         modality_dropout=0.2,
     )
     windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
+    print("window sizes:", [(w.num_nodes, w.num_edges) for w in windows])
     model = MultimodalGNN()
     B = 8
-    for mn, me in [(64, 512), (128, 1024)]:
+    for mn, me in [(64, 256), (64, 512), (128, 1024)]:
+        if any(w.num_nodes > mn or w.num_edges > me for w in windows):
+            print(f"bucket ({mn},{me}): windows do not fit, skipped")
+            continue
         graphs = [
             pad_graph(
                 pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
@@ -245,8 +265,70 @@ def bench_fused_kernel():
         )
 
 
+def bench_scene_encode():
+    """Per-scene encode cost (the SceneEncodedScorer / bench.py workload):
+    all scene detections through the three frozen encoders once, at several
+    padded detection counts and dtypes."""
+    from batch3dmot_tpu.graph import IMG_SHAPE, LIDAR_SHAPE, RADAR_SHAPE
+
+    model = MultimodalGNN()
+    scene = make_synthetic_scene(
+        seed=0, num_frames=10, num_tracks=14, with_modalities=True,
+        modality_dropout=0.2,
+    )
+    cfg = GraphConstructionConfig(top_knn_nodes=10)
+    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
+    w = windows[0]
+    example = pad_graph(
+        pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+        edge_attr=w.edge_attr, node_time=w.node_time, node_class=w.node_class,
+        max_nodes=64, max_edges=512, img=scene.img[w.det_index],
+        lidar=scene.lidar[w.det_index], radar=scene.radar[w.det_index],
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), example)
+    bf = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(bf)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        t,
+    )
+    variables_bf = cast(variables)
+    m = scene.num_detections
+    print(f"scene has {m} detections")
+    for m_pad in (64 * -(-m // 64), 256):
+        mods = []
+        for arr, tail in ((scene.img, IMG_SHAPE), (scene.lidar, LIDAR_SHAPE),
+                          (scene.radar, RADAR_SHAPE)):
+            buf = np.zeros((m_pad, *tail), np.float32)
+            buf[:m] = arr
+            mods.append(jnp.asarray(buf))
+
+        def enc(c, img, lidar, radar, v):
+            xi, pn, rn = model.apply(
+                v, img + c * 1e-30, lidar + c * 1e-30, radar + c * 1e-30,
+                method=model.encode_frozen,
+            )
+            return (
+                jnp.sum(xi.astype(jnp.float32))
+                + jnp.sum(pn.astype(jnp.float32))
+                + jnp.sum(rn.astype(jnp.float32))
+            )
+
+        t_f32 = diff_time(enc, (*mods, variables))
+        t_bf = diff_time(
+            enc, (*[x.astype(bf) for x in mods], variables_bf)
+        )
+        print(
+            f"m_pad {m_pad}: scene encode f32 {t_f32*1e3:.3f} ms | "
+            f"bf16 {t_bf*1e3:.3f} ms"
+        )
+
+
 if __name__ == "__main__":
     if os.environ.get("B3D_BENCH_FUSED"):
         bench_fused_kernel()
+    elif os.environ.get("B3D_BENCH_SCENE_ENCODE"):
+        bench_scene_encode()
     else:
         main()
