@@ -90,15 +90,20 @@ class GNNTrainer:
             self.shard_stacked = shard_batch_fn(mesh, axis=1)
         self.shard_batch = shard_batch or (lambda x: x)
         # fused Pallas MP training kernels (forward + hand-written backward,
-        # ops/pallas_mp_train.py). Measured on the real chip they sit at
-        # PARITY with XLA's autodiff (1.60 vs 1.56 ms/step at bench shapes —
-        # the backward's rematerialization costs the efficiency the kernel
-        # wins; docs/RESULTS.md), so 'auto' currently resolves to OFF and the
-        # default training path stays XLA. The kernels remain available
-        # (fused=True), gradient-equivalence-tested against autodiff on
-        # every parameter leaf (tests/test_pallas_mp_train.py).
+        # ops/pallas_mp_train.py), gradient-equivalence-tested against
+        # autodiff on every parameter leaf (tests/test_pallas_mp_train.py).
+        # Measured on the real chip at the production buckets they beat
+        # XLA's autodiff ~2x (scripts/bench_train_step.py: full-path step
+        # 1.18 -> 0.54 ms at (64,256)x8, 2.07 -> 1.10 ms at (64,512)x8;
+        # docs/RESULTS.md), so 'auto' resolves to ON for on-device
+        # single-chip training in the reference 'noop' knn-conv mode;
+        # per-batch bucket support is still guarded by fused_supported().
         if fused == "auto":
-            fused = False
+            fused = (
+                jax.default_backend() != "cpu"
+                and mesh is None
+                and getattr(model, "knn_conv_mode", "") == "noop"
+            )
         self.fused = bool(fused)
         self._interpret = jax.default_backend() == "cpu"
 

@@ -87,6 +87,14 @@ def test_fused_training_grads_multimodal():
     _grad_compare(model, _batch(True), "mm depth2")
 
 
+def test_fused_training_grads_modality_subset():
+    """The graduated config family (cam-only etc.) trains through the same
+    fused kernels — attention edge features are always consumed by the MP
+    loop regardless of the modality subset (models/gnn.py)."""
+    model = MultimodalGNN(depth=2, modalities=("img",))
+    _grad_compare(model, _batch(True), "mm img-only depth2")
+
+
 def test_fused_training_step_learns_pose():
     """A few fused train steps must reduce the loss (end-to-end step path,
     incl. optimizer + donated buffers)."""
