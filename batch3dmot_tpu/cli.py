@@ -338,18 +338,26 @@ def cmd_train_gnn(args) -> None:
                 items.extend((w, enc) for w in windows)
             return items
 
+        # uniform=True: one shape for the whole epoch so the K-step fused
+        # scan groups cleanly (train.data.uniform_bucket)
         train_batcher = EncodedGraphBatcher(
-            encoded_items(train_paths), cfg.gnn.batch_size
+            encoded_items(train_paths), cfg.gnn.batch_size, uniform=True
         )
         val_batcher = (
-            EncodedGraphBatcher(encoded_items(val_paths), cfg.gnn.batch_size)
+            EncodedGraphBatcher(
+                encoded_items(val_paths), cfg.gnn.batch_size, uniform=True
+            )
             if val_paths
             else None
         )
     else:
-        train_batcher = make_batcher(train_paths, cfg.gnn.batch_size)
+        train_batcher = make_batcher(
+            train_paths, cfg.gnn.batch_size, uniform=True
+        )
         val_batcher = (
-            make_batcher(val_paths, cfg.gnn.batch_size) if val_paths else None
+            make_batcher(val_paths, cfg.gnn.batch_size, uniform=True)
+            if val_paths
+            else None
         )
     print(
         f"train-gnn: {len(store_paths)} scene stores, "

@@ -46,6 +46,21 @@ from batch3dmot_tpu.ops.pallas_mp import _unpack, extract_mp_params
 _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
 
+# VMEM ceiling for one window's TRAINING working set. The backward kernel
+# carries far more live state than the inference kernel (stashed per-layer
+# x/e carries, the full weight-gradient set as output blocks, and the
+# recompute intermediates), so its guard is tighter than
+# pallas_mp._FUSED_MAX_EDGE_NODE_PRODUCT: (64, 512) compiles and wins ~2x
+# on hardware; (128, 1024) exceeds scoped VMEM at 20.1 MB (> 16 MB/core).
+_FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT = 512 * 64
+
+
+def fused_train_supported(max_nodes: int, max_edges: int) -> bool:
+    """Whether the fused TRAINING kernels' VMEM working set fits at this
+    bucket (callers fall back to XLA autodiff above it)."""
+    return max_edges * max_nodes <= _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT
+
+
 def _mm_t(dy, w):
     """dy [M, F] x W [K, F] -> dX [M, K]  (dX = dY @ W^T)."""
     return jax.lax.dot_general(

@@ -45,6 +45,28 @@ def to_padded(
     )
 
 
+def uniform_bucket(
+    sizes: Sequence[Tuple[int, int]],
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+) -> Tuple[Tuple[int, int], ...]:
+    """The single bucket fitting every (num_nodes, num_edges) in ``sizes``.
+
+    Training prefers ONE shape for the whole epoch over tighter per-window
+    padding: the K-step fused scan (`GNNTrainer.train_epoch(fused_steps=K)`)
+    can only group same-shape batches, so mixed buckets fragment the groups
+    into extra dispatches — measured slower end-to-end even when each batch
+    is individually cheaper (docs/RESULTS.md). Inference keeps per-window
+    bucketing (no cross-batch grouping to protect).
+    """
+    if not sizes:
+        return tuple(buckets)
+    return (
+        pick_bucket(
+            max(n for n, _ in sizes), max(e for _, e in sizes), buckets
+        ),
+    )
+
+
 class GraphBatcher:
     """Bucket + shuffle + stack window graphs into PaddedGraph batches."""
 
@@ -55,15 +77,23 @@ class GraphBatcher:
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
         drop_empty: bool = True,
         seed: int = 0,
+        uniform: bool = False,
     ):
         self.batch_size = batch_size
+        windows = [
+            w
+            for w in windows
+            if not (drop_empty and (w.num_nodes == 0 or w.num_edges == 0))
+            # reference skips empty windows at inference (predict.py:179)
+        ]
+        if uniform:
+            buckets = uniform_bucket(
+                [(w.num_nodes, w.num_edges) for w in windows], buckets
+            )
         self.buckets = tuple(buckets)
         self._rng = np.random.default_rng(seed)
         self.by_bucket: Dict[Tuple[int, int], List[WindowGraphArrays]] = {}
         for w in windows:
-            if drop_empty and (w.num_nodes == 0 or w.num_edges == 0):
-                # reference skips empty windows at inference (predict.py:179)
-                continue
             b = pick_bucket(w.num_nodes, w.num_edges, self.buckets)
             self.by_bucket.setdefault(b, []).append(w)
 

@@ -94,9 +94,9 @@ class EncodedGraphBatcher:
         batch_size: int,
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
         seed: int = 0,
+        uniform: bool = False,
     ):
         self.batch_size = batch_size
-        self.buckets = tuple(buckets)
         self._rng = np.random.default_rng(seed)
         self.by_bucket: Dict[Tuple[int, int], List[int]] = {}
         self.items = [
@@ -104,6 +104,13 @@ class EncodedGraphBatcher:
             for (w, enc) in windows_with_encodings
             if w.num_nodes > 0 and w.num_edges > 0
         ]
+        if uniform:
+            from batch3dmot_tpu.train.data import uniform_bucket
+
+            buckets = uniform_bucket(
+                [(w.num_nodes, w.num_edges) for w, _ in self.items], buckets
+            )
+        self.buckets = tuple(buckets)
         for i, (w, _) in enumerate(self.items):
             b = pick_bucket(w.num_nodes, w.num_edges, self.buckets)
             self.by_bucket.setdefault(b, []).append(i)

@@ -34,6 +34,7 @@ class StoreGraphBatcher:
         buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
         seed: int = 0,
         num_threads: int = 4,
+        uniform: bool = False,
     ):
         if not native_available():
             raise RuntimeError(
@@ -41,14 +42,30 @@ class StoreGraphBatcher:
                 "io.store.load_scene_graphs instead"
             )
         self.batch_size = batch_size
-        self.buckets = tuple(buckets)
         self.num_threads = num_threads
         self._rng = np.random.default_rng(seed)
         self._stores = [NativeGraphStore(p) for p in store_paths]
+        sizes = []
+        for store in self._stores:
+            nodes, edges = store.window_sizes()
+            sizes.append((nodes, edges))
+        if uniform:
+            from batch3dmot_tpu.train.data import uniform_bucket
+
+            buckets = uniform_bucket(
+                [
+                    (int(n), int(e))
+                    for nodes, edges in sizes
+                    for n, e in zip(nodes, edges)
+                    if n > 0 and e > 0
+                ],
+                buckets,
+            )
+        self.buckets = tuple(buckets)
         # global index: (store_idx, window_idx) grouped by bucket
         self.by_bucket: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
         for si, store in enumerate(self._stores):
-            nodes, edges = store.window_sizes()
+            nodes, edges = sizes[si]
             for wi in range(store.num_windows):
                 if nodes[wi] == 0 or edges[wi] == 0:
                     continue
@@ -109,12 +126,15 @@ def make_batcher(
     batch_size: int,
     buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
     seed: int = 0,
+    uniform: bool = False,
 ):
     """StoreGraphBatcher when the native loader is available, else an
     in-memory GraphBatcher over the numpy reader."""
     if native_available():
-        return StoreGraphBatcher(store_paths, batch_size, buckets, seed)
+        return StoreGraphBatcher(
+            store_paths, batch_size, buckets, seed, uniform=uniform
+        )
     windows = []
     for p in store_paths:
         windows.extend(GraphStoreReader(p).windows())
-    return GraphBatcher(windows, batch_size, buckets, seed=seed)
+    return GraphBatcher(windows, batch_size, buckets, seed=seed, uniform=uniform)

@@ -97,7 +97,9 @@ class GNNTrainer:
         # 1.18 -> 0.54 ms at (64,256)x8, 2.07 -> 1.10 ms at (64,512)x8;
         # docs/RESULTS.md), so 'auto' resolves to ON for on-device
         # single-chip training in the reference 'noop' knn-conv mode;
-        # per-batch bucket support is still guarded by fused_supported().
+        # per-batch bucket support is still guarded by
+        # fused_train_supported() (tighter than the inference guard — the
+        # backward carries stashed activations + weight-grad blocks).
         if fused == "auto":
             fused = (
                 jax.default_backend() != "cpu"
@@ -166,7 +168,7 @@ class GNNTrainer:
         """batch: PaddedGraph, or (PaddedGraph, encoding-tuple) from
         EncodedGraphBatcher (precomputed frozen-encoder outputs)."""
         graph_for_guard = batch[0] if isinstance(batch, tuple) else batch
-        from batch3dmot_tpu.ops.pallas_mp import fused_supported
+        from batch3dmot_tpu.ops.pallas_mp_train import fused_train_supported as fused_supported
 
         if self.fused and fused_supported(
             graph_for_guard.pose.shape[1], graph_for_guard.edge_src.shape[1]

@@ -91,7 +91,9 @@ def main():
             val_scenes.append((scene, windows))
     print(f"  data ready in {time.time()-t0:.1f}s: {len(train_items)} train windows", flush=True)
 
-    batcher = EncodedGraphBatcher(train_items, batch_size=8, buckets=buckets)
+    batcher = EncodedGraphBatcher(
+        train_items, batch_size=8, buckets=buckets, uniform=True
+    )
     t0 = time.time()
     history = trainer.fit(
         batcher, epochs=args.epochs, verbose=True, fused_steps=args.fused_steps

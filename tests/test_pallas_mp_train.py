@@ -95,6 +95,19 @@ def test_fused_training_grads_modality_subset():
     _grad_compare(model, _batch(True), "mm img-only depth2")
 
 
+def test_fused_train_guard_tighter_than_inference():
+    """The training backward OOMs scoped VMEM at buckets the INFERENCE
+    kernel still fits (measured: (128, 1024) backward needs 20.1 MB > the
+    16 MB/core limit) — the trainer must use the tighter guard."""
+    from batch3dmot_tpu.ops.pallas_mp import fused_supported
+    from batch3dmot_tpu.ops.pallas_mp_train import fused_train_supported
+
+    assert fused_train_supported(64, 256)
+    assert fused_train_supported(64, 512)  # measured-good production bucket
+    assert not fused_train_supported(128, 1024)  # measured VMEM OOM
+    assert fused_supported(128, 1024)  # ...while inference still fits
+
+
 def test_fused_training_step_learns_pose():
     """A few fused train steps must reduce the loss (end-to-end step path,
     incl. optimizer + donated buffers)."""

@@ -226,3 +226,29 @@ def test_train_epoch_fused_runs():
     trainer = GNNTrainer(PoseGNN(depth=2), example, GNNConfig(lr=1e-3, batch_size=2))
     m = trainer.train_epoch(batcher, fused_steps=4)
     assert np.isfinite(m["train/loss"])
+
+
+def test_uniform_bucketing_single_shape():
+    """uniform=True funnels every window into ONE bucket (the smallest
+    default bucket fitting the dataset max) so the K-step fused scan can
+    group all batches; per-window bucketing stays available for inference."""
+    from batch3dmot_tpu.graph import DEFAULT_BUCKETS
+    from batch3dmot_tpu.train.data import uniform_bucket
+
+    cfg = GraphConstructionConfig(top_knn_nodes=6)
+    scene = make_synthetic_scene(seed=3, num_frames=8, num_tracks=6)
+    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
+
+    multi = GraphBatcher(windows, batch_size=4)
+    uni = GraphBatcher(windows, batch_size=4, uniform=True)
+    assert len(uni.by_bucket) == 1
+    (bucket,) = uni.by_bucket
+    assert bucket == uniform_bucket(
+        [(w.num_nodes, w.num_edges) for w in windows], DEFAULT_BUCKETS
+    )[0]
+    assert sum(len(v) for v in multi.by_bucket.values()) == sum(
+        len(v) for v in uni.by_bucket.values()
+    )
+    # every batch a uniform epoch yields has the same padded shape
+    shapes = {b.pose.shape for b in uni.epoch(shuffle=False)}
+    assert len(shapes) == 1
