@@ -25,9 +25,8 @@ _FORMAT_VERSION = 1
 
 
 def pytree_digest(tree) -> str:
-    """Short content digest of a pytree of arrays — exported programs bake
-    weights in as constants, so the cache key MUST change with the
-    checkpoint or stale programs would silently score with old weights."""
+    """Short content digest of a pytree of arrays (shape+dtype+values).
+    Use for keys that must change with a checkpoint's VALUES."""
     import numpy as np
 
     h = hashlib.sha1()
@@ -36,6 +35,20 @@ def pytree_digest(tree) -> str:
         h.update(str(arr.shape).encode())
         h.update(str(arr.dtype).encode())
         h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
+def pytree_shape_digest(tree) -> str:
+    """Digest of a pytree's STRUCTURE (paths + shapes + dtypes) only.
+
+    The inference programs take weights as inputs (never baked constants),
+    so artifacts are valid across checkpoints of the same architecture —
+    this keys them without fetching any device values."""
+    h = hashlib.sha1()
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(getattr(leaf, "shape", ())).encode())
+        h.update(str(getattr(leaf, "dtype", type(leaf))).encode())
     return h.hexdigest()[:16]
 
 

@@ -46,14 +46,15 @@ class DeviceScenePipeline:
         self.window_len = window_len
         self.k = k
         # serialize lowered programs to disk (infer/aot.py) so later
-        # processes skip the minutes-long cold remote compile; keyed by a
-        # weights digest — exports bake the checkpoint in as constants
+        # processes skip the minutes-long cold remote compile; weights are
+        # program inputs, so artifacts are keyed by the params SHAPE tree
+        # and stay valid across checkpoints of the same architecture
         self.aot_dir = aot_dir
         self._var_digest = None
         if aot_dir:
-            from batch3dmot_tpu.infer.aot import pytree_digest
+            from batch3dmot_tpu.infer.aot import pytree_shape_digest
 
-            self._var_digest = pytree_digest(variables)
+            self._var_digest = pytree_shape_digest(variables)
         # fused Pallas MP kernel (see infer.predict.SceneEncodedScorer)
         if fused == "auto":
             fused = (
@@ -66,12 +67,18 @@ class DeviceScenePipeline:
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
     def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int):
-        model, variables = self.model, self.variables
+        model = self.model
         window_len, k = self.window_len, min(self.k, max_nodes)
 
-        def run(frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
-                wlh, class_id, score, token_id, det_mask, img, lidar, radar,
-                window_starts):
+        # variables enter as an ARGUMENT, not a closure: closure-captured
+        # device arrays are baked into the HLO as constants and lowering
+        # fetches every leaf back to the host (~0.9 s/leaf through the TPU
+        # relay — scripts/profile_predict.py); as an input the program is
+        # also checkpoint-independent, so AOT artifacts and the persistent
+        # compile cache survive retraining.
+        def run(variables, frame_idx, center_g, yaw_g, vel_g, center_e,
+                yaw_e, vel_e, wlh, class_id, score, token_id, det_mask,
+                img, lidar, radar, window_starts):
             g = build_windows_device(
                 frame_idx, center_g, yaw_g, vel_g, center_e, yaw_e, vel_e,
                 wlh, class_id, score, token_id, det_mask,
@@ -200,6 +207,10 @@ class DeviceScenePipeline:
             if self.aot_dir:
                 from batch3dmot_tpu.infer.aot import cached_jit
 
+                # weights are program INPUTS, so artifacts are keyed by
+                # shapes only and survive retraining (stale-weight hazards
+                # are structurally gone; the digest key records the params
+                # SHAPE tree, not values)
                 self._compiled[key] = cached_jit(
                     fn,
                     "device_pipeline",
@@ -207,11 +218,11 @@ class DeviceScenePipeline:
                     f"{self.k}_{self.fused}_{type(self.model).__name__}_"
                     f"{self._var_digest}",
                     self.aot_dir,
-                    args,
+                    (self.variables, *args),
                 )
             else:
                 self._compiled[key] = jax.jit(fn)
-        scores, gsrc, gdst, emask = self._compiled[key](*args)
+        scores, gsrc, gdst, emask = self._compiled[key](self.variables, *args)
         from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
 
         sel = np.asarray(emask).reshape(-1)

@@ -80,8 +80,12 @@ def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
         variables = replicate(variables, mesh)
         shard = shard_batch_fn(mesh)
 
+    # variables enter as a jit ARGUMENT, never a closure: closure-captured
+    # device arrays are embedded as HLO constants, and lowering fetches each
+    # leaf back to the host — ~0.9 s per leaf through this TPU relay, ~200 s
+    # per compiled shape for the full model (scripts/profile_predict.py).
     @jax.jit
-    def run(batch):
+    def run(variables, batch):
         from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
         if fused and fused_supported(
@@ -103,8 +107,8 @@ def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
         return scores
 
     if shard is None:
-        return run
-    return lambda batch: run(shard(batch))
+        return lambda batch: run(variables, batch)
+    return lambda batch: run(variables, shard(batch))
 
 
 def make_scene_encoded_scorer(
@@ -173,12 +177,18 @@ class SceneEncodedScorer:
                 else x,
                 t,
             )
-            enc_variables = cast(variables)
+            self._enc_variables = cast(variables)
         else:
-            enc_variables = variables
+            self._enc_variables = variables
 
+        # variables enter the jitted fns as ARGUMENTS, never closures:
+        # closure-captured device arrays become HLO constants, and lowering
+        # fetches every leaf back to the host — ~0.9 s per leaf through this
+        # TPU relay, ~200 s per compiled shape for the full model
+        # (scripts/profile_predict.py). As arguments they also keep the
+        # persistent compile cache checkpoint-independent.
         @jax.jit
-        def encode(img, lidar, radar):
+        def encode(enc_variables, img, lidar, radar):
             lp = (lidar.sum(axis=(1, 2)) != 0)
             rp = (radar.sum(axis=(1, 2)) != 0)
             if enc_dtype is not None:
@@ -192,7 +202,7 @@ class SceneEncodedScorer:
             return x_img.astype(f32), pn.astype(f32), rn.astype(f32), lp, rp
 
         @jax.jit
-        def fwd(batch, det_index, enc):
+        def fwd(variables, batch, det_index, enc):
             from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
             x_img, pn, rn, lp, rp = enc
@@ -205,14 +215,14 @@ class SceneEncodedScorer:
                 )
 
                 return fused_scores_from_encodings(
-                    model, self.variables, batch,
+                    model, variables, batch,
                     x_img[det_index], pn[det_index], rn[det_index],
                     lp[det_index], rp[det_index], interpret=interpret,
                 )
 
             def one(g, idx):
                 scores, _ = model.apply(
-                    self.variables,
+                    variables,
                     g,
                     x_img[idx],
                     pn[idx],
@@ -225,8 +235,8 @@ class SceneEncodedScorer:
 
             return jax.vmap(one)(batch, det_index)
 
-        self._encode = encode
-        self._fwd = fwd
+        self._encode = lambda *a: encode(self._enc_variables, *a)
+        self._fwd = lambda *a: fwd(self.variables, *a)
 
     def score_scene(
         self,

@@ -11,6 +11,7 @@ fc_lidar/fc_radar projections, attention, message passing — are untouched).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterator, List, Sequence, Tuple
 
 import jax
@@ -33,6 +34,16 @@ from batch3dmot_tpu.graph import (
 ENC_DIMS = {"x_img": 96, "pn": 256, "rn": 256}
 
 
+# Module-level jit, model static, variables as an ARGUMENT: a per-call jit
+# wrapper would re-trace every scene, and closure-captured device arrays are
+# fetched leaf-by-leaf at lowering (seconds per compile through the TPU
+# relay; scripts/profile_predict.py). flax Modules are frozen/hashable, so
+# they key the trace cache directly.
+@functools.partial(jax.jit, static_argnames="model")
+def _encode_frozen(model, variables, img, lidar, radar):
+    return model.apply(variables, img, lidar, radar, method=model.encode_frozen)
+
+
 def precompute_scene_encodings(
     model, variables, scene: SceneDetections, chunk: int = 512
 ) -> Dict[str, np.ndarray]:
@@ -42,10 +53,7 @@ def precompute_scene_encodings(
     lidar_present [M], radar_present [M].
     """
     m = scene.num_detections
-
-    @jax.jit
-    def enc(img, lidar, radar):
-        return model.apply(variables, img, lidar, radar, method=model.encode_frozen)
+    enc = lambda *a: _encode_frozen(model, variables, *a)
 
     xs, ps, rs = [], [], []
     for lo in range(0, max(m, 1), chunk):

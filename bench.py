@@ -160,7 +160,7 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
     variables = jax.jit(model.init)(jax.random.key(0), example)
     jax.block_until_ready(variables)
 
-    def score_scene(c, mods, stacked, det_idx):
+    def score_scene(c, mods, stacked, det_idx, variables):
         # the carry perturbation must be non-foldable (c * 0 is simplified
         # away by XLA algsimp, which would hoist the body out of the scan)
         img, lidar, radar = (m + c * 1e-30 for m in mods)
@@ -201,12 +201,17 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
         return c2
 
     def make_run(reps):
+        # `variables` rides in as an ARGUMENT — a closure would embed the
+        # weights as HLO constants, and lowering fetches each leaf back
+        # through the TPU relay at ~0.9 s/leaf (~3 min of wall per compile;
+        # scripts/profile_predict.py). This also matches the production
+        # scorer programs, which take weights as inputs.
         @jax.jit
-        def run(scene_mods, scene_batches, scene_dets):
+        def run(scene_mods, scene_batches, scene_dets, variables):
             def rep(c, _):
                 def per_scene(c2, data):
                     mods, batches, dets = data
-                    return score_scene(c2, mods, batches, dets), None
+                    return score_scene(c2, mods, batches, dets, variables), None
 
                 c3, _ = jax.lax.scan(
                     per_scene, c, (tuple(scene_mods), scene_batches, scene_dets)
@@ -219,7 +224,7 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
         return run
 
     def timeit(run):
-        args = (scene_mods, scene_batches, scene_dets)
+        args = (scene_mods, scene_batches, scene_dets, variables)
         np.asarray(run(*args))
         best = float("inf")
         for _ in range(2):

@@ -1,5 +1,6 @@
-"""AOT export cache (infer/aot.py): round-trip equality, artifact reuse,
-and checkpoint-digest keying of the device pipeline."""
+"""AOT export cache (infer/aot.py): round-trip equality, artifact reuse
+across processes AND across retrained checkpoints (weights are program
+inputs, keyed by the params shape tree)."""
 
 import glob
 import os
@@ -81,10 +82,22 @@ def test_device_pipeline_aot_matches_and_keys_on_weights(tmp_path):
     p2.score_scene(scene)
     assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 1
 
-    # different weights MUST produce a different artifact (stale-program guard)
+    # weights are program INPUTS (never baked constants), so a RETRAINED
+    # checkpoint of the same architecture reuses the artifact — and must
+    # score with the NEW weights, not stale ones
     p3 = _mm_pipeline(1, tmp_path)
-    p3.score_scene(scene)
-    assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 2
+    scores_new = p3.score_scene(scene)
+    assert len(glob.glob(os.path.join(tmp_path, "*.jaxexport"))) == 1
+    plain_new = DeviceScenePipeline(
+        p3.model, p3.variables, window_len=3, k=4, fused=False
+    ).score_scene(scene)
+    assert set(scores_new) == set(plain_new)
+    for key in scores_new:
+        assert abs(scores_new[key] - plain_new[key]) < 1e-6
+    # different weights really do flow through the cached program
+    assert any(
+        abs(scores_new[k] - scores_aot[k]) > 1e-7 for k in scores_new
+    )
 
 
 def test_pytree_digest_changes_with_content():
