@@ -129,28 +129,41 @@ def pad_graph(
     edge_mask = np.zeros((max_edges,), bool)
     edge_mask[:e] = True
 
+    # numpy-backed on purpose: a PaddedGraph is host-side staging data.
+    # Converting each field here (13 device_puts per window) and stacking
+    # on device (eager expand_dims+concat per window through the TPU relay)
+    # measurably dominated the steady-state predict host time — numpy until
+    # the jit boundary means ONE transfer per field per batch.
     return PaddedGraph(
-        pose=jnp.asarray(_pad_to(pose.astype(dtype), max_nodes)),
-        img=jnp.asarray(_pad_to(img.astype(dtype), max_nodes)),
-        lidar=jnp.asarray(_pad_to(lidar.astype(dtype), max_nodes)),
-        radar=jnp.asarray(_pad_to(radar.astype(dtype), max_nodes)),
-        node_time=jnp.asarray(
-            _pad_to(node_time.astype(np.int32), max_nodes, value=-1)
-        ),
-        node_class=jnp.asarray(_pad_to(node_class.astype(np.int32), max_nodes)),
-        node_mask=jnp.asarray(node_mask),
-        edge_src=jnp.asarray(_pad_to(edge_src.astype(np.int32), max_edges)),
-        edge_dst=jnp.asarray(_pad_to(edge_dst.astype(np.int32), max_edges)),
-        edge_attr=jnp.asarray(_pad_to(edge_attr.astype(dtype), max_edges)),
-        edge_mask=jnp.asarray(edge_mask),
-        edge_label=jnp.asarray(_pad_to(edge_label.astype(dtype), max_edges)),
-        edge_weight=jnp.asarray(_pad_to(edge_weight.astype(dtype), max_edges)),
+        pose=_pad_to(pose.astype(dtype), max_nodes),
+        img=_pad_to(img.astype(dtype), max_nodes),
+        lidar=_pad_to(lidar.astype(dtype), max_nodes),
+        radar=_pad_to(radar.astype(dtype), max_nodes),
+        node_time=_pad_to(node_time.astype(np.int32), max_nodes, value=-1),
+        node_class=_pad_to(node_class.astype(np.int32), max_nodes),
+        node_mask=node_mask,
+        edge_src=_pad_to(edge_src.astype(np.int32), max_edges),
+        edge_dst=_pad_to(edge_dst.astype(np.int32), max_edges),
+        edge_attr=_pad_to(edge_attr.astype(dtype), max_edges),
+        edge_mask=edge_mask,
+        edge_label=_pad_to(edge_label.astype(dtype), max_edges),
+        edge_weight=_pad_to(edge_weight.astype(dtype), max_edges),
     )
 
 
 def batch_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
-    """Stack same-budget graphs along a new leading window dimension."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+    """Stack same-budget graphs along a new leading window dimension.
+
+    Host-side numpy stacking when all fields are numpy (the pad_graph
+    contract) — device arrays still stack with jnp for callers that batch
+    already-transferred graphs."""
+
+    def stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs, axis=0)
+        return jnp.stack(xs, axis=0)
+
+    return jax.tree.map(stack, *graphs)
 
 
 def empty_graph(
