@@ -148,23 +148,23 @@ class NativeGraphStore:
 
 
 def batch_to_padded_graph(out: dict):
-    """Native batch dict -> PaddedGraph (bool masks, jnp arrays)."""
-    import jax.numpy as jnp
-
+    """Native batch dict -> PaddedGraph (bool masks, numpy-backed: staging
+    stays on host and transfers once per field at the jit boundary — see
+    graph.pad_graph)."""
     from batch3dmot_tpu.graph import PaddedGraph
 
     return PaddedGraph(
-        pose=jnp.asarray(out["pose"]),
-        img=jnp.asarray(out["img"]),
-        lidar=jnp.asarray(out["lidar"]),
-        radar=jnp.asarray(out["radar"]),
-        node_time=jnp.asarray(out["node_time"]),
-        node_class=jnp.asarray(out["node_class"]),
-        node_mask=jnp.asarray(out["node_mask"].astype(bool)),
-        edge_src=jnp.asarray(out["edge_src"]),
-        edge_dst=jnp.asarray(out["edge_dst"]),
-        edge_attr=jnp.asarray(out["edge_attr"]),
-        edge_mask=jnp.asarray(out["edge_mask"].astype(bool)),
-        edge_label=jnp.asarray(out["edge_label"]),
-        edge_weight=jnp.asarray(out["edge_weight"]),
+        pose=out["pose"],
+        img=out["img"],
+        lidar=out["lidar"],
+        radar=out["radar"],
+        node_time=out["node_time"],
+        node_class=out["node_class"],
+        node_mask=out["node_mask"].astype(bool),
+        edge_src=out["edge_src"],
+        edge_dst=out["edge_dst"],
+        edge_attr=out["edge_attr"],
+        edge_mask=out["edge_mask"].astype(bool),
+        edge_label=out["edge_label"],
+        edge_weight=out["edge_weight"],
     )

@@ -167,7 +167,6 @@ class EncodedGraphBatcher:
                 rp[slot, :n] = enc["radar_present"][di]
             while len(graphs) < self.batch_size:
                 graphs.append(empty_graph(mn, me, include_modalities=False))
-            enc_batch = tuple(
-                jnp.asarray(a) for a in (xi, pn, rn, lp, rp)
-            )
-            yield batch_graphs(graphs), enc_batch
+            # numpy staging end to end — one device transfer per field at
+            # the jit boundary (graph.batch_graphs rationale)
+            yield batch_graphs(graphs), (xi, pn, rn, lp, rp)
