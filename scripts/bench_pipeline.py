@@ -1,0 +1,67 @@
+"""End-to-end fused device-pipeline throughput (scenes/s), real chip.
+
+Measures the steady state of `DeviceScenePipeline.score_scene` over a batch
+of same-quanta synthetic scenes: on-device window construction + encode +
+scoring, host fetch, and cross-window averaging — the full serving loop for
+one scene. Pass 1 pays compiles; pass 2 is the number reported in
+docs/RESULTS.md.
+
+Run: python scripts/bench_pipeline.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+import numpy as np
+
+from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+from batch3dmot_tpu.graph import pad_graph
+from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+from batch3dmot_tpu.models import MultimodalGNN
+
+
+def main(n_scenes=8):
+    scenes = [
+        make_synthetic_scene(
+            seed=200 + i, num_frames=12, num_tracks=12, with_modalities=True,
+            modality_dropout=0.2,
+        )
+        for i in range(n_scenes)
+    ]
+    model = MultimodalGNN()
+    s = scenes[0]
+    idx = np.arange(min(8, s.num_detections))
+    example = pad_graph(
+        pose=np.zeros((4, 19), np.float32),
+        edge_src=np.zeros(4, np.int32), edge_dst=np.zeros(4, np.int32),
+        edge_attr=np.zeros((4, 4), np.float32),
+        node_time=np.zeros(4, np.int32), node_class=np.ones(4, np.int32),
+        max_nodes=8, max_edges=16,
+        img=s.img[idx][:4], lidar=s.lidar[idx][:4], radar=s.radar[idx][:4],
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), example)
+    pipe = DeviceScenePipeline(model, variables, window_len=3, k=8)
+
+    for label in ("pass1 (compiles)", "pass2 (steady)"):
+        t0 = time.time()
+        total_edges = 0
+        for scene in scenes:
+            scores = pipe.score_scene(scene)
+            total_edges += len(scores)
+        dt = time.time() - t0
+        print(
+            f"{label}: {n_scenes} scenes in {dt:.2f}s = "
+            f"{n_scenes/dt:.2f} scenes/s ({total_edges} averaged edges)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

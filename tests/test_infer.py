@@ -210,6 +210,15 @@ def test_scene_encoded_scorer_matches_plain():
     for a, b in zip(plain_scores, scene_scores):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
+    # opt-in reduced-precision encode (docs/PARITY.md #20): embeddings move
+    # to bf16 but scores must stay close to full f32 and presence flags must
+    # come from the f32 inputs (no zero-rounding of tiny clouds)
+    bf = make_scene_encoded_scorer(model, variables, encode_dtype="bfloat16")
+    bf_scores = bf.score_scene(scene, windows, windows_per_batch=4, buckets=BUCKETS)
+    for a, b in zip(scene_scores, bf_scores):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=0.06)
+
 
 def test_device_pipeline_matches_host_path():
     """Fused on-device build+encode+score must reproduce the host pipeline's
