@@ -27,11 +27,11 @@ from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
 from batch3dmot_tpu.models import MultimodalGNN
 
 
-def main(n_scenes=8):
+def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
     scenes = [
         make_synthetic_scene(
-            seed=200 + i, num_frames=12, num_tracks=12, with_modalities=True,
-            modality_dropout=0.2,
+            seed=200 + i, num_frames=num_frames, num_tracks=num_tracks,
+            with_modalities=True, modality_dropout=0.2,
         )
         for i in range(n_scenes)
     ]
@@ -47,7 +47,7 @@ def main(n_scenes=8):
         img=s.img[idx][:4], lidar=s.lidar[idx][:4], radar=s.radar[idx][:4],
     )
     variables = jax.jit(model.init)(jax.random.key(0), example)
-    pipe = DeviceScenePipeline(model, variables, window_len=3, k=8)
+    pipe = DeviceScenePipeline(model, variables, window_len=window_len, k=k)
 
     for label in ("pass1 (compiles)", "pass2 (steady)"):
         t0 = time.time()
@@ -57,11 +57,19 @@ def main(n_scenes=8):
             total_edges += len(scores)
         dt = time.time() - t0
         print(
-            f"{label}: {n_scenes} scenes in {dt:.2f}s = "
+            f"{label} [frames={num_frames} tracks={num_tracks} "
+            f"L={window_len} k={k}]: {n_scenes} scenes in {dt:.2f}s = "
             f"{n_scenes/dt:.2f} scenes/s ({total_edges} averaged edges)",
             flush=True,
         )
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("B3D_BENCH_TRAINVAL_SCALE"):
+        # nuScenes-trainval-like density: 40-frame scenes, dozens of
+        # concurrent tracks, predict window L=2 (reference cl_config) and a
+        # denser L=5 variant
+        main(n_scenes=4, num_frames=40, num_tracks=40, window_len=2, k=16)
+        main(n_scenes=4, num_frames=40, num_tracks=40, window_len=5, k=16)
+    else:
+        main()
