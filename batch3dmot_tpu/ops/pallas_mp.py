@@ -42,17 +42,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# VMEM ceiling for one window's working set. Measured on hardware: the
-# (128, 1024) bucket compiles and wins; (256, 2048) OOMs scoped VMEM at
-# 17.3 MB (> the 16 MB/core limit — one-hot tiles + live inputs + Mosaic's
-# double buffering). Callers fall back to XLA above this; larger buckets
-# would need an edge-tiled kernel variant.
+# VMEM ceiling for one window's working set in the single-shot kernel.
+# Measured on hardware: the (128, 1024) bucket compiles and wins; (256,
+# 2048) OOMs scoped VMEM at 17.3 MB (> the 16 MB/core limit — one-hot tiles
+# + live inputs + Mosaic's double buffering).
 _FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
+
+# Beyond it, the EDGE-TILED kernel variant processes each layer's edges in
+# chunks of ~_FUSED_MAX_EDGE_NODE_PRODUCT so only one chunk's MLP
+# intermediates are live at a time; the one-hot tiles and edge attrs stay
+# fully VMEM-resident, which bounds the tiled variant at the product below
+# (one-hot bytes x Mosaic double buffering). Above THAT, callers fall back
+# to XLA (~75% of roofline at such sizes, docs/RESULTS.md).
+_TILED_MAX_EDGE_NODE_PRODUCT = 2048 * 256
+
+
+def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
+    """Edge-tile count for the fused kernel at this bucket (1 = untiled),
+    or None when the bucket exceeds even the tiled variant's VMEM model."""
+    product = max_edges * max_nodes
+    if product <= _FUSED_MAX_EDGE_NODE_PRODUCT:
+        return 1
+    if product > _TILED_MAX_EDGE_NODE_PRODUCT:
+        return None
+    tiles = -(-product // _FUSED_MAX_EDGE_NODE_PRODUCT)
+    while max_edges % tiles:
+        tiles += 1
+    return tiles if (max_edges // tiles) % 8 == 0 else None
 
 
 def fused_supported(max_nodes: int, max_edges: int) -> bool:
-    """Whether the fused MP kernel's VMEM working set fits at this bucket."""
-    return max_edges * max_nodes <= _FUSED_MAX_EDGE_NODE_PRODUCT
+    """Whether a fused MP kernel (single-shot or edge-tiled) fits at this
+    bucket."""
+    return _tiles_for(max_nodes, max_edges) is not None
 
 
 def _split_rows(w, sizes):
@@ -211,6 +233,100 @@ def _mp_kernel(meta, depth, with_attention, x0_ref, e0_ref, att_ref,
     out_ref[0] = jnp.broadcast_to(h[:, 0][None, :], (8, h.shape[0]))
 
 
+def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
+                     att_ref, oh_src_ref, oh_dst_ref, *rest):
+    """Edge-tiled variant: per layer, edges are processed in ``n_tiles``
+    chunks so only one chunk's MLP intermediates are live in VMEM at a
+    time. The one-hot tiles and x stay resident; the evolving edge attrs
+    live in a VMEM scratch ref sliced with dynamic starts (Mosaic lowers
+    dynamic-start REF loads/stores but not value-level dynamic_slice); the
+    loop-invariant initial-x projections are recomputed per tile (cheaper
+    than holding [E, msg_dim] buffers live). In-place per-tile update of
+    the edge scratch is safe: a tile's new rows are read only by the next
+    layer."""
+    w_refs, out_ref, e_scr = rest[:-2], rest[-2], rest[-1]
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
+        meta, tuple(r[:] for r in w_refs)
+    )
+    x0 = x0_ref[0]
+    e_total = oh_src_ref.shape[1]
+    tsz = e_total // n_tiles
+    e_scr[...] = e0_ref[0]
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    tdot = lambda a, b_: jax.lax.dot_general(
+        a, b_, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    def layer(_, x):
+        def tile(t, acc):
+            agg_p, agg_f = acc
+            lo = t * tsz
+            oh_s = oh_src_ref[0, pl.ds(lo, tsz)]
+            oh_d = oh_dst_ref[0, pl.ds(lo, tsz)]
+            e_t = e_scr[pl.ds(lo, tsz)]
+            x_j = dot(oh_s, x)
+            x_i = dot(oh_d, x)
+            init_j = dot(oh_s, x0)
+            init_i = dot(oh_d, x0)
+
+            h = dot(x_i, eu0[0]) + dot(x_j, eu0[1]) + dot(e_t, eu0[2])
+            if with_attention:
+                h = h + dot(att_ref[0, pl.ds(lo, tsz)], eu0[3])
+            h = jnp.maximum(h + eu_b[0], 0.0)
+            for w, b in zip(eu_rest, eu_b[1:]):
+                h = dot(h, w) + b
+                if w is not eu_rest[-1]:
+                    h = jnp.maximum(h, 0.0)
+            ue = h
+
+            f = jnp.maximum(
+                dot(x_i, fut0[0]) + dot(ue, fut0[1]) + dot(init_i, fut0[2])
+                + fut_b[0], 0.0,
+            )
+            for w, b in zip(fut_rest, fut_b[1:]):
+                f = dot(f, w) + b
+                if w is not fut_rest[-1]:
+                    f = jnp.maximum(f, 0.0)
+
+            p = jnp.maximum(
+                dot(x_j, past0[0]) + dot(ue, past0[1]) + dot(init_j, past0[2])
+                + past_b[0], 0.0,
+            )
+            for w, b in zip(past_rest, past_b[1:]):
+                p = dot(p, w) + b
+                if w is not past_rest[-1]:
+                    p = jnp.maximum(p, 0.0)
+
+            e_scr[pl.ds(lo, tsz)] = ue
+            return agg_p + tdot(oh_d, p), agg_f + tdot(oh_s, f)
+
+        msg_dim = comb0[0].shape[0]
+        agg_p, agg_f = jax.lax.fori_loop(
+            0, n_tiles, tile,
+            (
+                jnp.zeros((x.shape[0], msg_dim), jnp.float32),
+                jnp.zeros((x.shape[0], msg_dim), jnp.float32),
+            ),
+        )
+        c = jnp.maximum(dot(agg_p, comb0[0]) + dot(agg_f, comb0[1]) + comb_b[0], 0.0)
+        for w, b in zip(comb_rest, comb_b[1:]):
+            c = dot(c, w) + b
+            if w is not comb_rest[-1]:
+                c = jnp.maximum(c, 0.0)
+        return c
+
+    jax.lax.fori_loop(0, depth, layer, x0)
+
+    h = e_scr[...]
+    for i, (w, b) in enumerate(zip(cls_w, cls_b)):
+        h = dot(h, w) + b
+        if i < len(cls_w) - 1:
+            h = jnp.maximum(h, 0.0)
+    out_ref[0] = jnp.broadcast_to(h[:, 0][None, :], (8, h.shape[0]))
+
+
 def fused_mp_scores(
     x0: jax.Array,  # [B, N, node_dim] encoded nodes
     e0: jax.Array,  # [B, E, edge_dim] encoded edge attrs
@@ -223,12 +339,16 @@ def fused_mp_scores(
     depth: int,
     logits: bool = False,
     interpret: bool = False,
+    force_tiles: Optional[int] = None,
 ) -> jax.Array:
     """Scores [B, E] from the fused kernel (sigmoid unless ``logits``).
 
-    ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
+    ``interpret=True`` runs the Pallas interpreter (CPU tests);
+    ``force_tiles`` overrides the VMEM-model tile choice (tests)."""
     b, n, _ = x0.shape
     e = src.shape[1]
+    n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e)
+    assert n_tiles is not None and e % n_tiles == 0, (n, e, n_tiles)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, e, n), 2)
     emask = edge_mask[..., None]
     oh_src = ((iota == src[..., None]) & emask).astype(x0.dtype)
@@ -236,7 +356,14 @@ def fused_mp_scores(
     with_attention = att is not None
     att_in = att if with_attention else jnp.zeros_like(e0)
 
-    kernel = functools.partial(_mp_kernel, meta, depth, with_attention)
+    if n_tiles == 1:
+        kernel = functools.partial(_mp_kernel, meta, depth, with_attention)
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(
+            _mp_kernel_tiled, meta, depth, with_attention, n_tiles
+        )
+        scratch_shapes = [pltpu.VMEM((e, e0.shape[2]), jnp.float32)]
     win_spec = lambda *tail: pl.BlockSpec(
         (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
     )
@@ -259,6 +386,7 @@ def fused_mp_scores(
             (1, 8, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, e), jnp.float32),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(x0, e0, att_in, oh_src, oh_dst, *flat_weights)
     out = out[:, 0, :]
@@ -266,7 +394,8 @@ def fused_mp_scores(
 
 
 def fused_scores_from_encodings(
-    model, variables, batch, x_img, pn, rn, lp, rp, interpret: bool = False
+    model, variables, batch, x_img, pn, rn, lp, rp, interpret: bool = False,
+    force_tiles: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in fused-kernel replacement for the batched
     ``forward_from_encodings`` score path: flax modules compute the pre-MP
@@ -289,7 +418,7 @@ def fused_scores_from_encodings(
     return fused_mp_scores(
         x0, e0, att,
         batch.edge_src, batch.edge_dst, batch.edge_mask,
-        flat, meta, model.depth, interpret=interpret,
+        flat, meta, model.depth, interpret=interpret, force_tiles=force_tiles,
     )
 
 

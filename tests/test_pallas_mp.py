@@ -204,3 +204,45 @@ def test_fused_full_forward_matches_call(setup):
             np.asarray(ref)[k, : w.num_edges],
             rtol=2e-4, atol=2e-5,
         )
+
+
+def test_tiles_for_vmem_model():
+    """Bucket gating: single-shot up to (128, 1024)-product, edge-tiled up
+    to (256, 2048)-product with 8-aligned tile sizes, XLA beyond."""
+    from batch3dmot_tpu.ops.pallas_mp import _tiles_for, fused_supported
+
+    assert _tiles_for(64, 256) == 1
+    assert _tiles_for(128, 1024) == 1
+    assert _tiles_for(128, 2048) == 2
+    assert _tiles_for(128, 4096) == 4
+    assert _tiles_for(256, 2048) == 4
+    assert _tiles_for(256, 4096) is None
+    assert _tiles_for(512, 8192) is None
+    assert fused_supported(128, 4096) and not fused_supported(512, 8192)
+
+
+def test_fused_kernel_tiled_matches_xla(setup):
+    """The edge-tiled kernel variant (forced tiling at a small bucket) must
+    match the XLA forward exactly like the single-shot kernel does."""
+    windows, batch = setup
+    model = MultimodalGNN(depth=3)
+    variables = jax.jit(model.init)(
+        jax.random.key(2), jax.tree.map(lambda x: x[0], batch)
+    )
+    xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+    ref_scores, _ = jax.vmap(
+        lambda g, a, b, c, d, e: model.apply(
+            variables, g, a, b, c, d, e, method=model.forward_from_encodings
+        )
+    )(batch, xi, pn, rn, lp, rp)
+    for tiles in (2, 4):
+        fused = fused_scores_from_encodings(
+            model, variables, batch, xi, pn, rn, lp, rp,
+            interpret=True, force_tiles=tiles,
+        )
+        for k, w in enumerate(windows):
+            np.testing.assert_allclose(
+                np.asarray(fused)[k, : w.num_edges],
+                np.asarray(ref_scores)[k, : w.num_edges],
+                rtol=2e-4, atol=2e-5,
+            )
