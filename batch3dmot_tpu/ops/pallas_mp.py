@@ -49,12 +49,19 @@ from jax.experimental.pallas import tpu as pltpu
 _FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
 
 # Beyond it, the EDGE-TILED kernel variant processes each layer's edges in
-# chunks of ~_FUSED_MAX_EDGE_NODE_PRODUCT so only one chunk's MLP
-# intermediates are live at a time; the one-hot tiles and edge attrs stay
-# fully VMEM-resident, which bounds the tiled variant at the product below
-# (one-hot bytes x Mosaic double buffering). Above THAT, callers fall back
-# to XLA (~75% of roofline at such sizes, docs/RESULTS.md).
-_TILED_MAX_EDGE_NODE_PRODUCT = 2048 * 256
+# chunks: only one chunk's MLP intermediates are live at a time, the
+# evolving edge attrs sit in a VMEM scratch ref, and the one-hot
+# gather/scatter tiles are GENERATED IN-KERNEL from the [E] src/dst index
+# vectors (broadcasted-iota compare) — no [E, N] one-hot ever exists in
+# HBM or VMEM. The binding constraints are the full-E edge-attr buffers
+# (input blocks x Mosaic double buffering + the scratch) and the node-side
+# state, hence the caps below; above them, callers fall back to XLA (~75%
+# of roofline at such sizes, docs/RESULTS.md).
+# 8192-edge buckets crash the TPU compiler subprocess (64 tiles x the
+# depth-6 loop); capped at the measured-good 4096 edges / 512 nodes —
+# (256, 4096) runs 3.45 ms vs 5.47 ms XLA at x8 windows.
+_TILED_MAX_EDGES = 4096
+_TILED_MAX_NODES = 512
 
 
 def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
@@ -63,9 +70,13 @@ def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     product = max_edges * max_nodes
     if product <= _FUSED_MAX_EDGE_NODE_PRODUCT:
         return 1
-    if product > _TILED_MAX_EDGE_NODE_PRODUCT:
+    if max_edges > _TILED_MAX_EDGES or max_nodes > _TILED_MAX_NODES:
         return None
-    tiles = -(-product // _FUSED_MAX_EDGE_NODE_PRODUCT)
+    # at the largest buckets the full-E edge-attr buffers leave less VMEM
+    # headroom for per-tile intermediates — halve the tile target there
+    # ((512, 8192) measured 64.5K over the 16 MB limit at target 131072)
+    per_tile = _FUSED_MAX_EDGE_NODE_PRODUCT // (2 if max_edges >= 4096 else 1)
+    tiles = -(-product // per_tile)
     while max_edges % tiles:
         tiles += 1
     return tiles if (max_edges // tiles) % 8 == 0 else None
@@ -155,7 +166,7 @@ def _unpack(meta, ws):
 
 
 def _mp_kernel(meta, depth, with_attention, x0_ref, e0_ref, att_ref,
-               oh_src_ref, oh_dst_ref, *rest):
+               src_ref, dst_ref, *rest):
     # pallas passes refs as (*inputs, *outputs): weights then the out ref
     w_refs, out_ref = rest[:-1], rest[-1]
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
@@ -165,8 +176,14 @@ def _mp_kernel(meta, depth, with_attention, x0_ref, e0_ref, att_ref,
     x0 = x0_ref[0]
     e = e0_ref[0]
     att = att_ref[0] if with_attention else None
-    oh_src = oh_src_ref[0]  # [E, N], masked rows zeroed
-    oh_dst = oh_dst_ref[0]
+    # one-hot gather/scatter tiles generated from the [E, 1] index columns
+    # (masked edges carry -1 -> all-zero rows); generating in-kernel beats
+    # shipping [E, N] f32 tiles from HBM — no host build, no transfer, no
+    # double-buffered input residency
+    n = x0.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (src_ref.shape[1], n), 1)
+    oh_src = (iota == src_ref[0]).astype(jnp.float32)
+    oh_dst = (iota == dst_ref[0]).astype(jnp.float32)
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -234,23 +251,26 @@ def _mp_kernel(meta, depth, with_attention, x0_ref, e0_ref, att_ref,
 
 
 def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
-                     att_ref, oh_src_ref, oh_dst_ref, *rest):
+                     att_ref, src_ref, dst_ref, *rest):
     """Edge-tiled variant: per layer, edges are processed in ``n_tiles``
     chunks so only one chunk's MLP intermediates are live in VMEM at a
-    time. The one-hot tiles and x stay resident; the evolving edge attrs
-    live in a VMEM scratch ref sliced with dynamic starts (Mosaic lowers
-    dynamic-start REF loads/stores but not value-level dynamic_slice); the
-    loop-invariant initial-x projections are recomputed per tile (cheaper
-    than holding [E, msg_dim] buffers live). In-place per-tile update of
-    the edge scratch is safe: a tile's new rows are read only by the next
-    layer."""
+    time. The one-hot gather/scatter tiles are GENERATED per chunk from
+    the [E, 1] src/dst index columns (masked edges carry index -1, so a
+    broadcasted-iota compare yields all-zero rows); the evolving edge
+    attrs live in a VMEM scratch ref sliced with dynamic starts (Mosaic
+    lowers dynamic-start REF loads/stores but not value-level
+    dynamic_slice); the loop-invariant initial-x projections are
+    recomputed per tile (cheaper than holding [E, msg_dim] buffers live).
+    In-place per-tile update of the edge scratch is safe: a tile's new
+    rows are read only by the next layer."""
     w_refs, out_ref, e_scr = rest[:-2], rest[-2], rest[-1]
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
         meta, tuple(r[:] for r in w_refs)
     )
     x0 = x0_ref[0]
-    e_total = oh_src_ref.shape[1]
+    n = x0.shape[0]
+    e_total = src_ref.shape[1]
     tsz = e_total // n_tiles
     e_scr[...] = e0_ref[0]
 
@@ -263,8 +283,9 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
         def tile(t, acc):
             agg_p, agg_f = acc
             lo = t * tsz
-            oh_s = oh_src_ref[0, pl.ds(lo, tsz)]
-            oh_d = oh_dst_ref[0, pl.ds(lo, tsz)]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, n), 1)
+            oh_s = (iota == src_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
+            oh_d = (iota == dst_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
             e_t = e_scr[pl.ds(lo, tsz)]
             x_j = dot(oh_s, x)
             x_i = dot(oh_d, x)
@@ -349,13 +370,12 @@ def fused_mp_scores(
     e = src.shape[1]
     n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e)
     assert n_tiles is not None and e % n_tiles == 0, (n, e, n_tiles)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, e, n), 2)
-    emask = edge_mask[..., None]
-    oh_src = ((iota == src[..., None]) & emask).astype(x0.dtype)
-    oh_dst = ((iota == dst[..., None]) & emask).astype(x0.dtype)
     with_attention = att is not None
     att_in = att if with_attention else jnp.zeros_like(e0)
 
+    win_spec = lambda *tail: pl.BlockSpec(
+        (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
+    )
     if n_tiles == 1:
         kernel = functools.partial(_mp_kernel, meta, depth, with_attention)
         scratch_shapes = []
@@ -364,9 +384,15 @@ def fused_mp_scores(
             _mp_kernel_tiled, meta, depth, with_attention, n_tiles
         )
         scratch_shapes = [pltpu.VMEM((e, e0.shape[2]), jnp.float32)]
-    win_spec = lambda *tail: pl.BlockSpec(
-        (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
+    # index columns, masked edges forced to -1 so the in-kernel iota
+    # compare produces all-zero one-hot rows (exact padding zero
+    # contribution, same as a host-built masked one-hot)
+    neg = jnp.int32(-1)
+    gather_ins = (
+        jnp.where(edge_mask, src, neg)[..., None].astype(jnp.int32),
+        jnp.where(edge_mask, dst, neg)[..., None].astype(jnp.int32),
     )
+    gather_specs = [win_spec(e, 1), win_spec(e, 1)]
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_weights
@@ -378,8 +404,7 @@ def fused_mp_scores(
             win_spec(n, x0.shape[2]),
             win_spec(e, e0.shape[2]),
             win_spec(e, e0.shape[2]),
-            win_spec(e, n),
-            win_spec(e, n),
+            *gather_specs,
             *w_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -388,7 +413,7 @@ def fused_mp_scores(
         out_shape=jax.ShapeDtypeStruct((b, 8, e), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(x0, e0, att_in, oh_src, oh_dst, *flat_weights)
+    )(x0, e0, att_in, *gather_ins, *flat_weights)
     out = out[:, 0, :]
     return out if logits else jax.nn.sigmoid(out)
 

@@ -211,7 +211,7 @@ def bench_fused_kernel():
     model = MultimodalGNN()
     B = 8
     for mn, me in [(64, 256), (64, 512), (128, 1024), (128, 2048),
-                   (128, 4096), (256, 2048)]:
+                   (128, 4096), (256, 2048), (256, 4096), (512, 8192)]:
         if any(w.num_nodes > mn or w.num_edges > me for w in windows):
             print(f"bucket ({mn},{me}): windows do not fit, skipped")
             continue

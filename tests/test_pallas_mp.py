@@ -207,18 +207,21 @@ def test_fused_full_forward_matches_call(setup):
 
 
 def test_tiles_for_vmem_model():
-    """Bucket gating: single-shot up to (128, 1024)-product, edge-tiled up
-    to (256, 2048)-product with 8-aligned tile sizes, XLA beyond."""
+    """Bucket gating: single-shot up to (128, 1024)-product; edge-tiled
+    (in-kernel one-hot generation) up to 8192 edges / 1024 nodes with
+    8-aligned tile sizes; XLA beyond."""
     from batch3dmot_tpu.ops.pallas_mp import _tiles_for, fused_supported
 
     assert _tiles_for(64, 256) == 1
     assert _tiles_for(128, 1024) == 1
     assert _tiles_for(128, 2048) == 2
-    assert _tiles_for(128, 4096) == 4
+    assert _tiles_for(128, 4096) == 8
     assert _tiles_for(256, 2048) == 4
-    assert _tiles_for(256, 4096) is None
-    assert _tiles_for(512, 8192) is None
-    assert fused_supported(128, 4096) and not fused_supported(512, 8192)
+    assert _tiles_for(256, 4096) == 16
+    assert _tiles_for(512, 4096) == 32
+    assert _tiles_for(512, 8192) is None  # crashes the TPU compiler
+    assert _tiles_for(1024, 32768) is None
+    assert fused_supported(256, 4096) and not fused_supported(512, 8192)
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
