@@ -703,8 +703,8 @@ def _run_predict(
     t0 = time.time()
     n_edges = 0
     n_scenes = 0
-    for scene, windows in scene_iter:
-        n_scenes += 1
+
+    def _score_one(scene, windows):
         if pipeline == "device":
             from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
 
@@ -712,34 +712,51 @@ def _run_predict(
             kept = threshold_edges(
                 avg_scores, scene, cfg.predict.edge_score_thresholds
             )
-            pred_edges = greedy_round(kept)
-            # the device pipeline returns averaged UNIQUE edges; other
-            # pipelines count raw per-window observations — label differs
-            n_edges += len(avg_scores)
-        else:
-            pred_edges, avg_scores = predict_scene(scorer, scene, windows, cfg)
-            n_edges += sum(w.num_edges for w in windows)
-        with open(
-            os.path.join(
-                edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
-            ),
-            "w",
-        ) as f:
-            json.dump({str(k): v for k, v in avg_scores.items()}, f)
-        cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
-        tracks = hierarchical_clusters(
-            pred_edges, cats, cfg.predict.join_score_thresholds
-        )
-        all_results.append(
-            scene_results(
-                tracks,
-                scene,
-                cfg.predict.interpolate_trailer_tracks,
-                track_id_offset=track_offset,
+            # averaged UNIQUE edges (other pipelines count raw
+            # per-window observations — the printed label differs)
+            return greedy_round(kept), avg_scores, len(avg_scores)
+        pred_edges, avg_scores = predict_scene(scorer, scene, windows, cfg)
+        return pred_edges, avg_scores, sum(w.num_edges for w in windows)
+
+    # Two-stage software pipeline: scene i+1's scoring (device dispatch +
+    # relay fetch, GIL released) runs on a worker thread while the main
+    # thread assembles scene i's tracks and writes its JSON — the relay
+    # round trip is the steady-state floor otherwise (docs/RESULTS.md).
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(scene_iter)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        cur = next(it, None)
+        fut = ex.submit(_score_one, *cur) if cur is not None else None
+        while fut is not None:
+            nxt = next(it, None)
+            pred_edges, avg_scores, scored = fut.result()
+            fut = ex.submit(_score_one, *nxt) if nxt is not None else None
+            scene, _ = cur
+            n_scenes += 1
+            n_edges += scored
+            with open(
+                os.path.join(
+                    edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
+                ),
+                "w",
+            ) as f:
+                json.dump({str(k): v for k, v in avg_scores.items()}, f)
+            cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
+            tracks = hierarchical_clusters(
+                pred_edges, cats, cfg.predict.join_score_thresholds
             )
-        )
-        track_offset += len(tracks)
-        all_tokens.extend(all_scene_sample_tokens(scene))
+            all_results.append(
+                scene_results(
+                    tracks,
+                    scene,
+                    cfg.predict.interpolate_trailer_tracks,
+                    track_id_offset=track_offset,
+                )
+            )
+            track_offset += len(tracks)
+            all_tokens.extend(all_scene_sample_tokens(scene))
+            cur = nxt
     dt = time.time() - t0
 
     submission = assemble_submission(

@@ -51,7 +51,7 @@ def build_windows(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
     ]
 
 
-def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
+def bench_tpu(scenes_windows, batch_size=8, reps_a=2, reps_b=18):
     """Device throughput of the production inference program: encode every
     scene detection ONCE, then scan the batched window forwards gathering
     embeddings by detection index (infer.predict.SceneEncodedScorer).
@@ -224,10 +224,13 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=1, reps_b=6):
         return run
 
     def timeit(run):
+        # best-of-4: the relay's dispatch/fetch overhead is noisy run to
+        # run (it cancels in the differential only if both measurements hit
+        # their best case); the wider reps_a/reps_b spread does the rest
         args = (scene_mods, scene_batches, scene_dets, variables)
         np.asarray(run(*args))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             np.asarray(run(*args))
             best = min(best, time.perf_counter() - t0)

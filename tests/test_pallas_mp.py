@@ -249,3 +249,49 @@ def test_fused_kernel_tiled_matches_xla(setup):
                 np.asarray(ref_scores)[k, : w.num_edges],
                 rtol=2e-4, atol=2e-5,
             )
+
+
+def test_fused_kernel_all_masked_window(setup):
+    """A batch slot holding an entirely-empty (all-padding) window — as
+    incomplete batches produce via empty_graph fill — must yield finite
+    scores in every slot and not disturb the real windows' scores."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    windows, batch = setup
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(4), jax.tree.map(lambda x: x[0], batch)
+    )
+    xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+    base = np.asarray(
+        fused_scores_from_encodings(
+            model, variables, batch, xi, pn, rn, lp, rp, interpret=True
+        )
+    )
+    # blank out the last slot entirely
+    def blank_last(a):
+        a = np.asarray(a).copy()
+        a[-1] = 0
+        return jnp.asarray(a)
+
+    wiped = dataclasses.replace(
+        batch,
+        pose=blank_last(batch.pose),
+        edge_attr=blank_last(batch.edge_attr),
+        edge_src=blank_last(batch.edge_src),
+        edge_dst=blank_last(batch.edge_dst),
+        node_mask=blank_last(batch.node_mask),
+        edge_mask=blank_last(batch.edge_mask),
+    )
+    out = np.asarray(
+        fused_scores_from_encodings(
+            model, variables, wiped, xi, pn, rn, lp, rp, interpret=True
+        )
+    )
+    assert np.isfinite(out).all()
+    for k, w in enumerate(windows[:-1]):
+        np.testing.assert_allclose(
+            out[k, : w.num_edges], base[k, : w.num_edges], rtol=1e-6
+        )
