@@ -57,17 +57,32 @@ def time_step(trainer, batch, reps_a=2, reps_b=14):
     return (out[reps_b] - out[reps_a]) / (reps_b - reps_a)
 
 
-def main():
-    cfg = GraphConstructionConfig(top_knn_nodes=10)
-    scene = make_synthetic_scene(
-        seed=0, num_frames=10, num_tracks=14, with_modalities=True,
-        modality_dropout=0.2,
-    )
-    windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
+def main(trainval_scale=False):
+    if trainval_scale:
+        # nuScenes-trainval training density: L=5 windows, dozens of
+        # concurrent tracks, kNN 20 — lands in the (256, 2048) bucket where
+        # the fused TRAINING kernels are unsupported (fused_train_supported)
+        # and the XLA autodiff path carries the load
+        cfg = GraphConstructionConfig(top_knn_nodes=20)
+        scene = make_synthetic_scene(
+            seed=0, num_frames=12, num_tracks=40, with_modalities=True,
+            modality_dropout=0.2,
+        )
+        window_len, buckets = 5, [(256, 4096)]
+    else:
+        cfg = GraphConstructionConfig(top_knn_nodes=10)
+        scene = make_synthetic_scene(
+            seed=0, num_frames=10, num_tracks=14, with_modalities=True,
+            modality_dropout=0.2,
+        )
+        window_len, buckets = 3, [(64, 256), (64, 512)]
+    windows = [
+        w for w in build_scene_graphs(scene, window_len, cfg) if w.num_edges > 0
+    ]
     model = MultimodalGNN()
     B = 8
 
-    for mn, me in [(64, 256), (64, 512)]:
+    for mn, me in buckets:
         if any(w.num_nodes > mn or w.num_edges > me for w in windows):
             print(f"bucket ({mn},{me}): windows do not fit, skipped")
             continue
@@ -112,4 +127,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(trainval_scale=bool(os.environ.get("B3D_BENCH_TRAINVAL_SCALE")))
