@@ -295,3 +295,67 @@ def test_fused_kernel_all_masked_window(setup):
         np.testing.assert_allclose(
             out[k, : w.num_edges], base[k, : w.num_edges], rtol=1e-6
         )
+
+
+@pytest.mark.slow
+def test_fused_kernel_randomized_configs():
+    """Property sweep: random scene densities, window lengths, kNN, model
+    depths, modality subsets and forced tile counts must all match the XLA
+    forward within f32 reassociation tolerance (interpreter)."""
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        tracks = int(rng.integers(3, 9))
+        frames = int(rng.integers(4, 8))
+        L = int(rng.integers(2, min(4, frames)))
+        knn = int(rng.integers(2, 7))
+        depth = int(rng.integers(1, 4))
+        mods = [("img",), ("img", "lidar"), ("img", "lidar", "radar")][
+            int(rng.integers(0, 3))
+        ]
+        cfg = GraphConstructionConfig(top_knn_nodes=knn)
+        scene = make_synthetic_scene(
+            seed=1000 + trial, num_frames=frames, num_tracks=tracks,
+            with_modalities=True, modality_dropout=float(rng.uniform(0, 0.5)),
+        )
+        windows = [
+            w for w in build_scene_graphs(scene, L, cfg) if w.num_edges > 0
+        ][:3]
+        if not windows:
+            continue
+        mn = 8 * -(-max(w.num_nodes for w in windows) // 8)
+        me = max(16, 8 * -(-max(w.num_edges for w in windows) // 8))
+        graphs = [
+            pad_graph(
+                pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+                edge_attr=w.edge_attr, node_time=w.node_time,
+                node_class=w.node_class, max_nodes=mn, max_edges=me,
+                img=scene.img[w.det_index], lidar=scene.lidar[w.det_index],
+                radar=scene.radar[w.det_index],
+            )
+            for w in windows
+        ]
+        batch = batch_graphs(graphs)
+        model = MultimodalGNN(depth=depth, modalities=mods)
+        variables = jax.jit(model.init)(
+            jax.random.key(trial), jax.tree.map(lambda x: x[0], batch)
+        )
+        xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+        ref, _ = jax.vmap(
+            lambda g, a, b, c, d, e: model.apply(
+                variables, g, a, b, c, d, e,
+                method=model.forward_from_encodings,
+            )
+        )(batch, xi, pn, rn, lp, rp)
+        tile_opts = [1] + [t for t in (2, 4) if me % t == 0 and (me // t) % 8 == 0]
+        tiles = tile_opts[int(rng.integers(0, len(tile_opts)))]
+        fused = fused_scores_from_encodings(
+            model, variables, batch, xi, pn, rn, lp, rp,
+            interpret=True, force_tiles=tiles,
+        )
+        desc = f"trial {trial}: tracks={tracks} L={L} knn={knn} depth={depth} mods={mods} bucket=({mn},{me}) tiles={tiles}"
+        for k, w in enumerate(windows):
+            np.testing.assert_allclose(
+                np.asarray(fused)[k, : w.num_edges],
+                np.asarray(ref)[k, : w.num_edges],
+                rtol=2e-4, atol=2e-5, err_msg=desc,
+            )
