@@ -567,6 +567,7 @@ def cmd_predict(args) -> None:
         mesh=_mesh_from_args(args),
         synthetic=getattr(args, "synthetic", 0),
         aot_cache=getattr(args, "aot_cache", None),
+        skip_existing=getattr(args, "skip_existing", False),
     )
 
 
@@ -599,6 +600,7 @@ def _run_predict(
     mesh=None,
     synthetic: int = 0,
     aot_cache: Optional[str] = None,
+    skip_existing: bool = False,
 ):
     """Batched inference over graph stores (or, for the fully-fused device
     pipeline, over scenes built straight from source data).
@@ -724,39 +726,88 @@ def _run_predict(
     # round trip is the steady-state floor otherwise (docs/RESULTS.md).
     from concurrent.futures import ThreadPoolExecutor
 
+    def _results_path(scene):
+        return os.path.join(
+            edge_scores_dir, f"{scene.scene_token}_results.json"
+        )
+
+    def _stage(item):
+        """None (end), ('cached', payload) or ('fut', future)."""
+        if item is None:
+            return None
+        scene, windows = item
+        if skip_existing and os.path.exists(_results_path(scene)):
+            with open(_results_path(scene)) as f:
+                return ("cached", json.load(f))
+        return ("fut", ex.submit(_score_one, scene, windows))
+
+    scene_track_counts: List[int] = []
     it = iter(scene_iter)
     with ThreadPoolExecutor(max_workers=1) as ex:
         cur = next(it, None)
-        fut = ex.submit(_score_one, *cur) if cur is not None else None
-        while fut is not None:
+        staged = _stage(cur)
+        while staged is not None:
             nxt = next(it, None)
-            pred_edges, avg_scores, scored = fut.result()
-            fut = ex.submit(_score_one, *nxt) if nxt is not None else None
+            staged_next = _stage(nxt)  # enqueue BEFORE blocking on current
+            kind, payload = staged
+            if kind == "fut":
+                pred_edges, avg_scores, scored = payload.result()
             scene, _ = cur
             n_scenes += 1
-            n_edges += scored
-            with open(
-                os.path.join(
-                    edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
-                ),
-                "w",
-            ) as f:
-                json.dump({str(k): v for k, v in avg_scores.items()}, f)
-            cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
-            tracks = hierarchical_clusters(
-                pred_edges, cats, cfg.predict.join_score_thresholds
-            )
-            all_results.append(
-                scene_results(
+            if kind == "cached":
+                # per-scene results from a previous (interrupted) run;
+                # track ids are scene-local and re-offset at assembly
+                n_edges += int(payload["scored"])
+                all_results.append(payload["results"])
+                scene_track_counts.append(int(payload["num_tracks"]))
+            else:
+                n_edges += scored
+                with open(
+                    os.path.join(
+                        edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump({str(k): v for k, v in avg_scores.items()}, f)
+                cats = {
+                    i: m["category_name"] for i, m in enumerate(scene.metadata)
+                }
+                tracks = hierarchical_clusters(
+                    pred_edges, cats, cfg.predict.join_score_thresholds
+                )
+                results = scene_results(
                     tracks,
                     scene,
                     cfg.predict.interpolate_trailer_tracks,
-                    track_id_offset=track_offset,
                 )
-            )
-            track_offset += len(tracks)
+                # persist for --skip-existing resume (atomic via rename so
+                # a kill mid-write can't leave a readable half file)
+                tmp = f"{_results_path(scene)}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "results": results,
+                            "num_tracks": len(tracks),
+                            "scored": scored,
+                        },
+                        f,
+                    )
+                os.replace(tmp, _results_path(scene))
+                all_results.append(results)
+                scene_track_counts.append(len(tracks))
             all_tokens.extend(all_scene_sample_tokens(scene))
-            cur = nxt
+            cur, staged = nxt, staged_next
+
+    # scene-local track ids -> globally unique (applied AFTER the loop so
+    # resumed scenes from a previous process keep consistent numbering)
+    for results, ntracks in zip(all_results, scene_track_counts):
+        if track_offset:
+            for boxes in results.values():
+                for b in boxes:
+                    b["tracking_id"] = str(
+                        track_offset + int(b["tracking_id"])
+                    )
+        track_offset += ntracks
     dt = time.time() - t0
 
     submission = assemble_submission(
@@ -1170,6 +1221,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--aot-cache", type=str, default=None,
                    help="(--pipeline device) dir of serialized AOT-exported "
                         "programs; kills the cold remote compile for serving")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="resume an interrupted run: scenes with a per-scene "
+                        "results JSON under <eval>/predict/ are loaded, not "
+                        "re-scored (the submission still covers every scene)")
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("concat-jsons")

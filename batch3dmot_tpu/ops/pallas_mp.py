@@ -12,15 +12,18 @@ This kernel runs the ENTIRE loop for one window per grid step with x
 resident in VMEM across all 6 layers, plus the edge classifier — the
 roadmap item from round 1 (VERDICT.md #6).
 
-Design notes (TPU-first, not a translation):
+Design notes (TPU-first, not a translation — full writeup docs/KERNELS.md):
   * gathers/scatters are one-hot matmuls: x_j = oh_src @ x (MXU), scatter =
     oh^T contraction — no dynamic indexing inside the kernel;
+  * the one-hot tiles are GENERATED in-kernel from [E, 1] index columns
+    (broadcasted-iota compare; masked edges carry -1 -> all-zero rows, so
+    padding contributes exactly zero to every aggregation and numerics
+    match the masked XLA path up to f32 reassociation);
   * every concat-then-matmul is rewritten as a sum of row-split matmuls
     (x_i @ W[:96] + x_j @ W[96:192] + ...) — concat-free, pure MXU;
-  * masked edges have their one-hot rows zeroed OUTSIDE the kernel, so
-    padding contributes exactly zero to every aggregation (numerics match
-    the masked XLA path bit-for-bit up to f32 reassociation);
-  * inference-only: training keeps the autodiff-able XLA path.
+  * two variants: single-shot (whole loop resident) and edge-tiled for the
+    big trainval buckets (see _tiles_for); training has its own fwd+bwd
+    kernels in ops/pallas_mp_train.py.
 
 Weight layout contract with :class:`models.gnn.CausalMessagePassing` /
 ``MultimodalGNN``/``PoseGNN`` (concat orders define the row splits):

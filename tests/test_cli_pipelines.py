@@ -131,3 +131,37 @@ def test_train_gnn_encoded_rejects_pose(mm_setup):
     tmp, _, common = mm_setup
     with pytest.raises(SystemExit, match="multimodal"):
         main(["train-gnn", "--model", "pose", "--encoded", "--epochs", "1", *common])
+
+
+def test_predict_skip_existing_resumes(mm_setup):
+    """--skip-existing reuses per-scene results JSONs: a re-run with half
+    the scenes pre-scored (and half deleted, as after an interruption)
+    produces an identical submission."""
+    tmp, ckpt, common = mm_setup
+    eval_dir = os.path.join(tmp, "eval_resume")
+    args = [
+        "predict", "--model", "mm", "--checkpoint", ckpt,
+        *common, "--set", f"paths.eval={eval_dir}",
+    ]
+    main(args)
+    sub1 = json.load(open(os.path.join(eval_dir, "submission.json")))
+    results_files = sorted(
+        glob.glob(os.path.join(eval_dir, "predict", "*_results.json"))
+    )
+    assert len(results_files) >= 2
+    # simulate an interrupted run: one scene's results survive, the rest
+    # are gone; the submission from the full run is also gone
+    os.remove(os.path.join(eval_dir, "submission.json"))
+    for p in results_files[1:]:
+        os.remove(p)
+    main(args + ["--skip-existing"])
+    sub2 = json.load(open(os.path.join(eval_dir, "submission.json")))
+    assert sub1["results"].keys() == sub2["results"].keys()
+    for token in sub1["results"]:
+        a = sorted(sub1["results"][token], key=lambda b: (b["tracking_id"], b["sample_token"]))
+        b = sorted(sub2["results"][token], key=lambda b: (b["tracking_id"], b["sample_token"]))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x["tracking_name"] == y["tracking_name"]
+            np.testing.assert_allclose(x["translation"], y["translation"])
+            assert x["tracking_id"] == y["tracking_id"]
