@@ -717,8 +717,38 @@ def _run_predict(
             # averaged UNIQUE edges (other pipelines count raw
             # per-window observations — the printed label differs)
             return greedy_round(kept), avg_scores, len(avg_scores)
-        pred_edges, avg_scores = predict_scene(scorer, scene, windows, cfg)
+        pred_edges, avg_scores = predict_scene(
+            scorer, scene, windows, cfg,
+            buckets=run_buckets, m_pad=run_m_pad,
+        )
         return pred_edges, avg_scores, sum(w.num_edges for w in windows)
+
+    # Pin ONE set of program shapes for the whole run: per-scene detection
+    # counts and window sizes would otherwise each compile (and, through a
+    # relay, load) their own program variant — measured ~5 s/scene of pure
+    # executable-load overhead on a 12-scene split before this.
+    from batch3dmot_tpu.graph import DEFAULT_BUCKETS as _DB
+
+    run_buckets, run_m_pad = _DB, None
+    if pipeline != "device" and scene_iter:
+        from batch3dmot_tpu.infer.predict import _pad_detection_count
+
+        sized = [
+            (w.num_nodes, w.num_edges)
+            for _, ws in scene_iter
+            for w in ws
+            if w.num_nodes and w.num_edges
+        ]
+        if sized:
+            run_buckets = (
+                pick_bucket(
+                    max(n for n, _ in sized), max(e for _, e in sized), _DB
+                ),
+            )
+        if pipeline == "encoded":
+            run_m_pad = max(
+                _pad_detection_count(s.num_detections) for s, _ in scene_iter
+            )
 
     # Two-stage software pipeline: scene i+1's scoring (device dispatch +
     # relay fetch, GIL released) runs on a worker thread while the main

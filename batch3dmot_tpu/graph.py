@@ -151,19 +151,20 @@ def pad_graph(
     )
 
 
+def stack_host_or_device(*xs):
+    """Stack leaves along a new leading axis — on the HOST when every
+    input is numpy (one transfer per field at the jit boundary instead of
+    eager per-item device stacks through a TPU relay), with jnp otherwise
+    (callers batching already-transferred arrays)."""
+    if all(isinstance(x, np.ndarray) for x in xs):
+        return np.stack(xs, axis=0)
+    return jnp.stack(xs, axis=0)
+
+
 def batch_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
-    """Stack same-budget graphs along a new leading window dimension.
-
-    Host-side numpy stacking when all fields are numpy (the pad_graph
-    contract) — device arrays still stack with jnp for callers that batch
-    already-transferred graphs."""
-
-    def stack(*xs):
-        if all(isinstance(x, np.ndarray) for x in xs):
-            return np.stack(xs, axis=0)
-        return jnp.stack(xs, axis=0)
-
-    return jax.tree.map(stack, *graphs)
+    """Stack same-budget graphs along a new leading window dimension
+    (host-side for numpy-staged graphs, the pad_graph contract)."""
+    return jax.tree.map(stack_host_or_device, *graphs)
 
 
 def empty_graph(

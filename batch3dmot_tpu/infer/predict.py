@@ -170,33 +170,32 @@ class SceneEncodedScorer:
 
         enc_dtype = jnp.dtype(encode_dtype) if encode_dtype else None
         self.encode_dtype = enc_dtype
-        if enc_dtype is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(enc_dtype)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                t,
-            )
-            self._enc_variables = cast(variables)
-        else:
-            self._enc_variables = variables
 
         # variables enter the jitted fns as ARGUMENTS, never closures:
         # closure-captured device arrays become HLO constants, and lowering
         # fetches every leaf back to the host — ~0.9 s per leaf through this
         # TPU relay, ~200 s per compiled shape for the full model
         # (scripts/profile_predict.py). As arguments they also keep the
-        # persistent compile cache checkpoint-independent.
+        # persistent compile cache checkpoint-independent. The optional
+        # reduced-precision cast happens INSIDE the jit (an eager tree-wide
+        # cast would pay relay latency per leaf, and XLA dead-code-eliminates
+        # the casts of the non-encoder subtrees).
         @jax.jit
-        def encode(enc_variables, img, lidar, radar):
+        def encode(variables, img, lidar, radar):
             lp = (lidar.sum(axis=(1, 2)) != 0)
             rp = (radar.sum(axis=(1, 2)) != 0)
             if enc_dtype is not None:
+                variables = jax.tree.map(
+                    lambda x: x.astype(enc_dtype)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x,
+                    variables,
+                )
                 img = img.astype(enc_dtype)
                 lidar = lidar.astype(enc_dtype)
                 radar = radar.astype(enc_dtype)
             x_img, pn, rn = model.apply(
-                enc_variables, img, lidar, radar, method=model.encode_frozen
+                variables, img, lidar, radar, method=model.encode_frozen
             )
             f32 = jnp.float32
             return x_img.astype(f32), pn.astype(f32), rn.astype(f32), lp, rp
@@ -235,7 +234,7 @@ class SceneEncodedScorer:
 
             return jax.vmap(one)(batch, det_index)
 
-        self._encode = lambda *a: encode(self._enc_variables, *a)
+        self._encode = lambda *a: encode(self.variables, *a)
         self._fwd = lambda *a: fwd(self.variables, *a)
 
     def score_scene(
@@ -244,11 +243,18 @@ class SceneEncodedScorer:
         windows: Sequence[WindowGraphArrays],
         windows_per_batch: int = 8,
         buckets=DEFAULT_BUCKETS,
+        m_pad: Optional[int] = None,
     ) -> List[np.ndarray]:
+        """``m_pad``/``buckets`` pin the program shapes; multi-scene callers
+        should pass run-global values (every distinct shape is a separate
+        compiled program, and on relay-attached deployments each program
+        load costs seconds — see cli._run_predict)."""
         import jax.numpy as jnp
 
         m = scene.num_detections
-        m_pad = _pad_detection_count(m)
+        if m_pad is None:
+            m_pad = _pad_detection_count(m)
+        assert m_pad >= m, (m_pad, m)
 
         def padm(a, shape_tail):
             out = np.zeros((m_pad, *shape_tail), np.float32)
@@ -485,21 +491,25 @@ def predict_scene(
     windows: Sequence[WindowGraphArrays],
     cfg: Optional[Config] = None,
     windows_per_batch: int = 8,
+    buckets=DEFAULT_BUCKETS,
+    m_pad: Optional[int] = None,
 ):
     """Full per-scene edge pipeline: batched scoring -> cross-window
     averaging -> per-class thresholding -> greedy rounding.
 
     Returns (pred_edges, avg_scores) where pred_edges is the greedy-rounded
-    [(det_i, det_j), score] list in scene detection indices.
+    [(det_i, det_j), score] list in scene detection indices. Multi-scene
+    callers should pass run-global ``buckets``/``m_pad`` so every scene
+    shares the same compiled programs (see SceneEncodedScorer.score_scene).
     """
     thresholds = (
         cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
     )
     wpb = cfg.predict.windows_per_batch if cfg else windows_per_batch
     if isinstance(scorer, SceneEncodedScorer):
-        scores = scorer.score_scene(scene, windows, wpb)
+        scores = scorer.score_scene(scene, windows, wpb, buckets, m_pad=m_pad)
     else:
-        scores = score_windows(scorer, windows, wpb)
+        scores = score_windows(scorer, windows, wpb, buckets)
 
     # array-native averaging -> threshold -> greedy (dicts only materialize
     # for the small kept set and the edge-score JSON dump)

@@ -48,6 +48,7 @@ def to_padded(
 def uniform_bucket(
     sizes: Sequence[Tuple[int, int]],
     buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+    max_waste: float = 4.0,
 ) -> Tuple[Tuple[int, int], ...]:
     """The single bucket fitting every (num_nodes, num_edges) in ``sizes``.
 
@@ -57,14 +58,26 @@ def uniform_bucket(
     into extra dispatches — measured slower end-to-end even when each batch
     is individually cheaper (docs/RESULTS.md). Inference keeps per-window
     bucketing (no cross-batch grouping to protect).
+
+    Outlier guard: when a few dense windows would force the WHOLE epoch
+    into a bucket more than ``max_waste``x the area of the median window's
+    own bucket (a real hazard on trainval, where one crowded scene can be
+    16x the typical window), the uniform tradeoff inverts — fall back to
+    per-window bucketing instead of silently paying the padding.
     """
     if not sizes:
         return tuple(buckets)
-    return (
-        pick_bucket(
-            max(n for n, _ in sizes), max(e for _, e in sizes), buckets
-        ),
+    uni = pick_bucket(
+        max(n for n, _ in sizes), max(e for _, e in sizes), buckets
     )
+    per_window = sorted(
+        pick_bucket(n, e, buckets)[0] * pick_bucket(n, e, buckets)[1]
+        for n, e in sizes
+    )
+    median_area = per_window[len(per_window) // 2]
+    if uni[0] * uni[1] > max_waste * median_area:
+        return tuple(buckets)
+    return (uni,)
 
 
 class GraphBatcher:

@@ -299,15 +299,9 @@ class GNNTrainer:
         return _nanmean_metrics(metrics)
 
     def _run_fused(self, metrics, group) -> None:
-        # stack on host when the batcher staged numpy (ONE transfer per
-        # field at the jit boundary instead of K eager device stacks
-        # through the relay — same rationale as graph.batch_graphs)
-        def stack(*xs):
-            if all(isinstance(x, np.ndarray) for x in xs):
-                return np.stack(xs)
-            return jnp.stack(xs)
+        from batch3dmot_tpu.graph import stack_host_or_device
 
-        stacked = jax.tree.map(stack, *group)
+        stacked = jax.tree.map(stack_host_or_device, *group)
         if self.shard_stacked is not None:
             stacked = self.shard_stacked(stacked)
         self.state, losses, scores = self._multi_step(self.state, stacked)

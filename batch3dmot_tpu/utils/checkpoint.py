@@ -32,10 +32,18 @@ def save_checkpoint(path: str, variables: Any, metadata: Optional[Dict] = None) 
 
 def load_checkpoint(path: str, target: Any) -> Any:
     """Load a checkpoint into the structure of ``target`` (a template
-    variable collection from ``model.init``)."""
+    variable collection from ``model.init``).
+
+    The tree is placed on the default device in ONE batched transfer:
+    ``from_bytes`` returns host numpy leaves, and since the inference
+    programs take weights as jit *arguments* (docs/KERNELS.md), numpy
+    leaves would otherwise be re-uploaded through the TPU relay on every
+    scorer call."""
+    import jax
+
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(target, data)
+    return jax.device_put(serialization.from_bytes(target, data))
 
 
 def epoch_checkpoint_name(

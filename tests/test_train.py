@@ -252,3 +252,17 @@ def test_uniform_bucketing_single_shape():
     # every batch a uniform epoch yields has the same padded shape
     shapes = {b.pose.shape for b in uni.epoch(shuffle=False)}
     assert len(shapes) == 1
+
+
+def test_uniform_bucket_outlier_guard():
+    """One dense outlier window must NOT drag the whole epoch into a
+    many-times-larger bucket — uniform_bucket falls back to per-window
+    bucketing when the uniform choice exceeds max_waste x the median
+    window's own bucket area."""
+    from batch3dmot_tpu.graph import DEFAULT_BUCKETS
+    from batch3dmot_tpu.train.data import uniform_bucket
+
+    homogeneous = [(30, 120)] * 20
+    assert uniform_bucket(homogeneous, DEFAULT_BUCKETS) == ((64, 256),)
+    with_outlier = homogeneous + [(500, 16000)]
+    assert uniform_bucket(with_outlier, DEFAULT_BUCKETS) == tuple(DEFAULT_BUCKETS)
