@@ -107,6 +107,21 @@ def main():
         from batch3dmot_tpu.infer.device_pipeline import predict_scene_device
     else:
         scorer = make_scene_encoded_scorer(model, trainer.variables)
+    # run-global program shapes: one bucket + one m_pad across the val
+    # scenes (per-scene shape variants each cost a compiled-program load)
+    from batch3dmot_tpu.graph import pick_bucket
+    from batch3dmot_tpu.infer.predict import _pad_detection_count
+
+    sized = [
+        (w.num_nodes, w.num_edges)
+        for _, ws in val_scenes for w in ws if w.num_edges
+    ]
+    run_bucket = (
+        pick_bucket(max(n for n, _ in sized), max(e for _, e in sized)),
+    )
+    run_m_pad = max(
+        _pad_detection_count(s.num_detections) for s, _ in val_scenes
+    )
     gt_boxes, pred_boxes, frames = [], [], []
     t0 = time.time()
     n_edges = 0
@@ -116,7 +131,10 @@ def main():
                 model, trainer.variables, scene, window_len=3
             )
         else:
-            pred_edges, _ = predict_scene(scorer, scene, windows, windows_per_batch=8)
+            pred_edges, _ = predict_scene(
+                scorer, scene, windows, windows_per_batch=8,
+                buckets=run_bucket, m_pad=run_m_pad,
+            )
         cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
         tracks = hierarchical_clusters(pred_edges, cats)
         results = scene_results(tracks, scene)
