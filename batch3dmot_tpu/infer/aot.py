@@ -21,7 +21,9 @@ from typing import Callable, Optional, Sequence
 import jax
 from jax import export as jax_export
 
-_FORMAT_VERSION = 1
+# v2: device-pipeline output contract changed to the packed [2, W, E]
+# (bitcast key, score) form — old artifacts must not be loaded into it
+_FORMAT_VERSION = 2
 
 
 def pytree_digest(tree) -> str:

@@ -143,16 +143,20 @@ class DeviceScenePipeline:
             det = g["det_index"]
             gsrc = jnp.take_along_axis(det, g["edge_src"], axis=1)
             gdst = jnp.take_along_axis(det, g["edge_dst"], axis=1)
-            # ONE packed f32 output -> one host fetch (each fetch costs a
-            # full relay round trip; four separate arrays dominated the
-            # pipeline's steady state). Detection indices are exact in f32
-            # far beyond any per-scene count (< 2^24).
+            # ONE packed [3, W, E] f32 output -> one host fetch (each fetch
+            # costs a full relay round trip, and at trainval density the
+            # result is ~MBs). Indices ride as plain f32 (exact below 2^24,
+            # far beyond any per-scene detection count); the edge mask is
+            # folded into the score row as -1 (scores are sigmoids in
+            # [0, 1]). NOT int32-bitcast-packed: small ints bitcast to f32
+            # are denormals, and the TPU flushes denormals to zero —
+            # measured as every key collapsing to 0.
+            score_or_neg = jnp.where(g["edge_mask"], scores, -1.0)
             return jnp.stack(
                 [
-                    scores,
                     gsrc.astype(jnp.float32),
                     gdst.astype(jnp.float32),
-                    g["edge_mask"].astype(jnp.float32),
+                    score_or_neg,
                 ]
             )
 
@@ -178,6 +182,8 @@ class DeviceScenePipeline:
         # starts beyond the scene produce empty, fully-masked windows)
         max_nodes = max(64, -(-max_nodes // 64) * 64)
         m_pad = max(256, -(-m // 256) * 256)
+        # detection indices ride home as f32 (exact below 2^24)
+        assert m_pad < (1 << 24), m_pad
         num_windows = -(-real_windows // 8) * 8
 
         pad1 = lambda a, v=0: np.pad(a, (0, m_pad - m), constant_values=v)
@@ -234,14 +240,15 @@ class DeviceScenePipeline:
             else:
                 self._compiled[key] = jax.jit(fn)
         packed = np.asarray(self._compiled[key](self.variables, *args))
-        scores, gsrc, gdst, emask = packed
+        gsrc, gdst, scores = packed
         from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
 
-        sel = emask.reshape(-1) != 0.0
+        flat_scores = scores.reshape(-1)
+        sel = flat_scores >= 0.0  # masked edges carry -1
         return average_edge_scores_arrays(
             gsrc.reshape(-1)[sel].astype(np.int64),
             gdst.reshape(-1)[sel].astype(np.int64),
-            scores.reshape(-1)[sel],
+            flat_scores[sel],
         )
 
 

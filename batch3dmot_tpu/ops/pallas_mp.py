@@ -60,11 +60,17 @@ _FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
 # (input blocks x Mosaic double buffering + the scratch) and the node-side
 # state, hence the caps below; above them, callers fall back to XLA (~75%
 # of roofline at such sizes, docs/RESULTS.md).
-# 8192-edge buckets crash the TPU compiler subprocess (64 tiles x the
-# depth-6 loop); capped at the measured-good 4096 edges / 512 nodes —
-# (256, 4096) runs 3.45 ms vs 5.47 ms XLA at x8 windows.
+# Boundary evidence for the caps: (512, 8192) ran 64.5K over the 16 MB
+# limit and finer tilings (32+ tiles) crash the TPU compiler subprocess;
+# (256, 4096) at 16 tiles won 1.6x at 8-window grids but ran 256.5K over
+# at the device pipeline's 40-window grids (Mosaic pipelines deeper on
+# longer grids, so near-limit configurations are grid-length-sensitive).
+# Coverage therefore stops at the grid-length-robust edge*node <= 512k
+# set — (128, 2048), (128, 4096), (256, 2048) — all validated at both
+# grid lengths.
 _TILED_MAX_EDGES = 4096
 _TILED_MAX_NODES = 512
+_TILED_MAX_PRODUCT = 2048 * 256
 
 
 def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
@@ -73,11 +79,14 @@ def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     product = max_edges * max_nodes
     if product <= _FUSED_MAX_EDGE_NODE_PRODUCT:
         return 1
-    if max_edges > _TILED_MAX_EDGES or max_nodes > _TILED_MAX_NODES:
+    if (
+        max_edges > _TILED_MAX_EDGES
+        or max_nodes > _TILED_MAX_NODES
+        or product > _TILED_MAX_PRODUCT
+    ):
         return None
-    # at the largest buckets the full-E edge-attr buffers leave less VMEM
-    # headroom for per-tile intermediates — halve the tile target there
-    # ((512, 8192) measured 64.5K over the 16 MB limit at target 131072)
+    # 4096-edge buckets need a smaller tile target: the full-E edge-attr
+    # buffers leave less VMEM headroom for per-tile intermediates
     per_tile = _FUSED_MAX_EDGE_NODE_PRODUCT // (2 if max_edges >= 4096 else 1)
     tiles = -(-product // per_tile)
     while max_edges % tiles:

@@ -217,11 +217,13 @@ def test_tiles_for_vmem_model():
     assert _tiles_for(128, 2048) == 2
     assert _tiles_for(128, 4096) == 8
     assert _tiles_for(256, 2048) == 4
-    assert _tiles_for(256, 4096) == 16
-    assert _tiles_for(512, 4096) == 32
-    assert _tiles_for(512, 8192) is None  # crashes the TPU compiler
+    # beyond 512k edge*node the tiled variant is grid-length-fragile on
+    # hardware (VMEM at long grids / compiler crashes at finer tilings)
+    assert _tiles_for(256, 4096) is None
+    assert _tiles_for(512, 4096) is None
+    assert _tiles_for(512, 8192) is None
     assert _tiles_for(1024, 32768) is None
-    assert fused_supported(256, 4096) and not fused_supported(512, 8192)
+    assert fused_supported(128, 4096) and not fused_supported(256, 4096)
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
