@@ -31,7 +31,10 @@ scene = make_synthetic_scene(seed=0, num_frames=10, num_tracks=14,
 windows = [w for w in build_scene_graphs(scene, 3, cfg) if w.num_edges > 0]
 model = MultimodalGNN()
 B = 4
-for mn, me in [(64,256),(64,512),(128,1024),(128,2048),(128,4096),(256,2048),(256,4096),(512,4096)]:
+for mn, me in [(64,256),(64,512),(128,1024),(128,2048),(128,4096),(256,2048)]:
+    if _tiles_for(mn, me) is None:
+        print(f"({mn},{me}): not fused-supported, skipped", flush=True)
+        continue
     graphs = [pad_graph(pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
                         edge_attr=w.edge_attr, node_time=w.node_time,
                         node_class=w.node_class, max_nodes=mn, max_edges=me,
