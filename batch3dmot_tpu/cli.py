@@ -151,8 +151,13 @@ def cmd_build_graphs(args) -> None:
     )
 
 
-def _load_nuscenes_scenes(cfg: Config, skip=None):
-    """Generator over SceneDetections built from the tables + detector JSON.
+def _load_nuscenes_scenes(cfg: Config, skip=None, split: Optional[str] = None):
+    """Generator over SceneDetections built from the tables + detector JSON
+    for ONE split (build-graphs: ``graph_construction.split``; predict
+    passes the eval split — the reference likewise walks only the
+    configured split, ``utils/load_scenes.py:5-59``, ``predict.py:632-635``).
+    The detection-JSON key is derived from the SAME split knob so scenes
+    are never matched against another split's detector file.
 
     Streams one scene at a time (a trainval scene's raw modality arrays are
     ~10-100 MB — materializing a whole split would not fit) and applies the
@@ -163,9 +168,8 @@ def _load_nuscenes_scenes(cfg: Config, skip=None):
     from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
 
     tables = NuScenesTables(cfg.paths.data, cfg.main.version)
-    split_key = (
-        "mini" if cfg.main.version == "v1.0-mini" else cfg.graph_construction.split
-    )
+    split = split or cfg.graph_construction.split
+    split_key = "mini" if cfg.main.version == "v1.0-mini" else split
     det_path = (
         cfg.detections.get(cfg.main.detections, {}).get(split_key)
         if cfg.detections
@@ -183,28 +187,33 @@ def _load_nuscenes_scenes(cfg: Config, skip=None):
     want = tuple(
         m for m in ("img", "lidar", "radar") if cfg.main.sensors_used.get(m)
     )
-    for split, metas in tables.split_scene_lists().items():
-        for meta in metas:
-            if skip is not None and skip(meta["token"]):
-                continue
-            toks, ego_t, ego_q = tables.scene_ego_poses(meta["token"])
-            gt = tables.scene_gt(meta["token"])
-            img = lidar = radar = None
-            if want:
-                from batch3dmot_tpu.data.preprocess import (
-                    extract_detection_modalities,
-                )
-
-                img, lidar, radar = extract_detection_modalities(
-                    tables, toks, dets, cfg, modalities=want
-                )
-            yield scene_from_frames(
-                meta["token"], toks, dets, gt, ego_t, ego_q,
-                cfg.graph_construction,
-                ego_rad_min=cfg.pointnet.ego_rad_min,
-                ego_rad_max=cfg.pointnet.ego_rad_max,
-                img=img, lidar=lidar, radar=radar,
+    try:
+        metas = tables.scene_metas_for_split(
+            split, cfg.paths.splits_json or None
+        )
+    except KeyError as e:
+        raise SystemExit(str(e))
+    for meta in metas:
+        if skip is not None and skip(meta["token"]):
+            continue
+        toks, ego_t, ego_q = tables.scene_ego_poses(meta["token"])
+        gt = tables.scene_gt(meta["token"])
+        img = lidar = radar = None
+        if want:
+            from batch3dmot_tpu.data.preprocess import (
+                extract_detection_modalities,
             )
+
+            img, lidar, radar = extract_detection_modalities(
+                tables, toks, dets, cfg, modalities=want
+            )
+        yield scene_from_frames(
+            meta["token"], toks, dets, gt, ego_t, ego_q,
+            cfg.graph_construction,
+            ego_rad_min=cfg.pointnet.ego_rad_min,
+            ego_rad_max=cfg.pointnet.ego_rad_max,
+            img=img, lidar=lidar, radar=radar,
+        )
 
 
 def _load_stores(cfg: Config):
@@ -658,7 +667,9 @@ def _run_predict(
         scenes = (
             _build_synthetic_scenes(cfg, synthetic, True)
             if synthetic
-            else _load_nuscenes_scenes(cfg)
+            # inference walks the EVAL split (reference predict.py:632-635
+            # processes the configured eval set, not the training split)
+            else _load_nuscenes_scenes(cfg, split=cfg.eval.eval_set)
         )
         variables = _init_variables_for_scene_model(cfg, model)
         if checkpoint:
@@ -989,15 +1000,18 @@ def cmd_preprocess(args) -> None:
     def done(kind):
         return os.path.join(pre, f"processed_{kind}_anns.json")
 
+    sj = cfg.paths.splits_json or None
     t0 = time.time()
     if "img" in wanted and not (skip and os.path.exists(done("img"))):
-        anns = generate_image_annotations(tables, cfg)
+        anns = generate_image_annotations(tables, cfg, splits_json=sj)
         with open(done("img"), "w") as f:
             json.dump(anns, f)
         n = sum(len(v) for v in anns.values())
         print(f"preprocess img: {n} annotations -> {done('img')}")
     if "lidar" in wanted and not (skip and os.path.exists(done("lidar"))):
-        anns = preprocess_lidar_annotations(tables, os.path.join(pre, "lidar"), cfg)
+        anns = preprocess_lidar_annotations(
+            tables, os.path.join(pre, "lidar"), cfg, splits_json=sj
+        )
         with open(done("lidar"), "w") as f:
             json.dump(anns, f)
         n = sum(len(v) for v in anns.values())
@@ -1012,7 +1026,7 @@ def cmd_preprocess(args) -> None:
         with open(done("img")) as f:
             img_anns = json.load(f)
         anns = preprocess_radar_annotations(
-            tables, os.path.join(pre, "radar"), img_anns, cfg
+            tables, os.path.join(pre, "radar"), img_anns, cfg, splits_json=sj
         )
         with open(done("radar"), "w") as f:
             json.dump(anns, f)
@@ -1055,7 +1069,15 @@ def cmd_export_gt(args) -> None:
     id2name = {v: k for k, v in TRACKING_CLASSES.items()}
     boxes = []
     frames = []
-    for scene in tables.scenes:
+    # GT export covers the EVAL split only — exporting every scene would
+    # make the scorer treat all other splits' frames as missed tracks.
+    try:
+        metas = tables.scene_metas_for_split(
+            cfg.eval.eval_set, cfg.paths.splits_json or None
+        )
+    except KeyError as e:
+        raise SystemExit(str(e))
+    for scene in metas:
         for tok in tables.scene_sample_tokens(scene["token"]):
             frames.append(tok)
             gt = tables.gt_frame_boxes(tok)

@@ -109,6 +109,11 @@ class PathsConfig:
     # lidar/ and radar/ per-annotation .npy dirs (the reference scatters
     # these across ~6 configured paths; one root here).
     preprocessed: str = ""
+    # Optional {split: [scene names]} JSON used for split membership when
+    # the nuScenes devkit is not importable (the devkit's
+    # create_splits_scenes is used when present; without either, all scenes
+    # land in a single 'all' split).
+    splits_json: str = ""
 
     def finalize(self, dataset: str) -> None:
         root = os.path.join(self.tmp, dataset)

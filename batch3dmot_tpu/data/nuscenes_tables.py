@@ -199,6 +199,32 @@ class NuScenesTables:
             ]
         return out
 
+    def scene_metas_for_split(
+        self, split: str, splits_json: Optional[str] = None
+    ) -> List[dict]:
+        """Scene metas for ONE named split.
+
+        The reference walks only the configured split's scenes
+        (``utils/load_scenes.py:5-59``; ``predict.py:632-635``) — callers
+        must never iterate every split against a single split's detection
+        JSON. Mini versions accept ``train``/``val`` and map them to
+        ``mini_train``/``mini_val``. Without the devkit or a splits JSON
+        every scene lands in a single ``'all'`` split, which is returned
+        for any requested name (single-split fallback for fabricated /
+        synthetic datasets).
+        """
+        lists = self.split_scene_lists(splits_json)
+        if set(lists) == {"all"}:
+            return lists["all"]
+        if self.version == "v1.0-mini" and not split.startswith("mini"):
+            split = f"mini_{split}"
+        if split not in lists:
+            raise KeyError(
+                f"unknown split '{split}' for {self.version}; "
+                f"available: {sorted(lists)}"
+            )
+        return lists[split]
+
     def _scene_meta(self, scene: dict) -> dict:
         return {
             "token": scene["token"],
