@@ -716,6 +716,8 @@ def _run_predict(
     t0 = time.time()
     n_edges = 0
     n_scenes = 0
+    n_resumed = 0
+    n_resumed_edges = 0
 
     def _score_one(scene, windows):
         if pipeline == "device":
@@ -797,8 +799,11 @@ def _run_predict(
             n_scenes += 1
             if kind == "cached":
                 # per-scene results from a previous (interrupted) run;
-                # track ids are scene-local and re-offset at assembly
-                n_edges += int(payload["scored"])
+                # track ids are scene-local and re-offset at assembly.
+                # Counted separately: cached scenes cost ~0 time and would
+                # inflate the printed throughput of a resumed run.
+                n_resumed += 1
+                n_resumed_edges += int(payload["scored"])
                 all_results.append(payload["results"])
                 scene_track_counts.append(int(payload["num_tracks"]))
             else:
@@ -863,10 +868,13 @@ def _run_predict(
     with open(sub_path, "w") as f:
         json.dump(submission, f)
     unit = "unique edges" if pipeline == "device" else "edges"
+    resumed = (
+        f" + {n_resumed} resumed ({n_resumed_edges} {unit})" if n_resumed else ""
+    )
     print(
-        f"predict[{pipeline}]: {n_scenes} scenes, {n_edges} {unit} "
-        f"scored in {dt:.1f}s ({n_edges / max(dt, 1e-9):.0f} {unit}/s) "
-        f"-> {sub_path}"
+        f"predict[{pipeline}]: {n_scenes - n_resumed} scenes, {n_edges} {unit} "
+        f"scored in {dt:.1f}s ({n_edges / max(dt, 1e-9):.0f} {unit}/s)"
+        f"{resumed} -> {sub_path}"
     )
     return submission
 

@@ -21,8 +21,10 @@ from typing import Callable, Optional, Sequence
 import jax
 from jax import export as jax_export
 
-# v2: device-pipeline output contract changed to the packed [2, W, E]
-# (bitcast key, score) form — old artifacts must not be loaded into it
+# v2: device-pipeline output contract changed to the packed [3, W, E]
+# (src-as-f32, dst-as-f32, score-or--1) form — old artifacts must not be
+# loaded into it. (Indices travel as plain f32 values, NOT bitcast: the TPU
+# path flushes denormals, which corrupts bitcast int32 payloads.)
 _FORMAT_VERSION = 2
 
 

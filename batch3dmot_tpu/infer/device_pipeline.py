@@ -55,6 +55,23 @@ class DeviceScenePipeline:
             from batch3dmot_tpu.infer.aot import pytree_shape_digest
 
             self._var_digest = pytree_shape_digest(variables)
+            # shape-INVISIBLE architecture hyperparameters (depth reuses the
+            # same MP weights every layer, models/gnn.py; knn_conv_mode
+            # changes control flow only) must rotate the artifact key too —
+            # a params-shape digest alone would silently reuse a program
+            # compiled for a different architecture. Digest every dataclass
+            # field of the flax module.
+            import dataclasses
+            import hashlib
+
+            fields = {
+                f.name: getattr(model, f.name)
+                for f in dataclasses.fields(model)
+                if f.name not in ("parent", "name")
+            }
+            self._arch_digest = hashlib.sha1(
+                repr(sorted(fields.items(), key=lambda kv: kv[0])).encode()
+            ).hexdigest()[:12]
         # fused Pallas MP kernel (see infer.predict.SceneEncodedScorer)
         if fused == "auto":
             fused = (
@@ -233,7 +250,7 @@ class DeviceScenePipeline:
                     "device_pipeline",
                     f"{m_pad}_{num_windows}_{max_nodes}_{self.window_len}_"
                     f"{self.k}_{self.fused}_{type(self.model).__name__}_"
-                    f"{self._var_digest}",
+                    f"{self._arch_digest}_{self._var_digest}",
                     self.aot_dir,
                     (self.variables, *args),
                 )
