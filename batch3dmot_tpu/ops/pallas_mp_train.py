@@ -46,19 +46,55 @@ from batch3dmot_tpu.ops.pallas_mp import _unpack, extract_mp_params
 _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
 
-# VMEM ceiling for one window's TRAINING working set. The backward kernel
-# carries far more live state than the inference kernel (stashed per-layer
-# x/e carries, the full weight-gradient set as output blocks, and the
-# recompute intermediates), so its guard is tighter than
+# VMEM ceiling for one window's TRAINING working set in the MONOLITHIC
+# kernel pair (whole loop resident, one-hot tiles as XLA inputs, residual
+# stash as VMEM out-blocks). The backward carries far more live state than
+# the inference kernel, so its guard is tighter than
 # pallas_mp._FUSED_MAX_EDGE_NODE_PRODUCT: (64, 512) compiles and wins ~2x
 # on hardware; (128, 1024) exceeds scoped VMEM at 20.1 MB (> 16 MB/core).
 _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT = 512 * 64
 
+# Beyond the monolithic ceiling, the EDGE-TILED training kernel pair covers
+# the trainval buckets (round-2 VERDICT #2): one-hot tiles are generated
+# in-kernel per edge chunk from [E, 1] index columns, the evolving edge
+# attrs live in a VMEM scratch, and the full-E residuals the backward needs
+# (per-layer edge attrs e_t and the agg_past/agg_future node sums) are
+# DMA'd to HBM stash arrays instead of occupying VMEM out-blocks. The
+# backward re-loads them per layer and RECOMPUTES the intra-tile
+# intermediates (standard rematerialization). Caps validated on hardware
+# (scripts/bench_train_step.py); per-tile budget below mirrors the
+# inference kernel's VMEM model.
+_TRAIN_TILED_MAX_EDGES = 4096
+_TRAIN_TILED_MAX_NODES = 512
+_TRAIN_TILED_MAX_PRODUCT = 4096 * 256
+_TRAIN_TILE_PRODUCT = 64 * 1024  # target edges-per-tile x nodes
+
+
+def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
+    """Edge-tile count for the fused TRAINING kernels at this bucket
+    (1 = monolithic), or None when even the tiled variant's VMEM model is
+    exceeded (callers fall back to XLA autodiff)."""
+    product = max_edges * max_nodes
+    if product <= _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT:
+        return 1
+    if (
+        max_edges > _TRAIN_TILED_MAX_EDGES
+        or max_nodes > _TRAIN_TILED_MAX_NODES
+        or product > _TRAIN_TILED_MAX_PRODUCT
+    ):
+        return None
+    # at least 2: a 1-tile fall-through would dispatch to the monolithic
+    # kernel, whose VMEM ceiling this bucket already exceeds
+    tiles = max(2, -(-product // _TRAIN_TILE_PRODUCT))
+    while max_edges % tiles:
+        tiles += 1
+    return tiles if (max_edges // tiles) % 8 == 0 else None
+
 
 def fused_train_supported(max_nodes: int, max_edges: int) -> bool:
-    """Whether the fused TRAINING kernels' VMEM working set fits at this
-    bucket (callers fall back to XLA autodiff above it)."""
-    return max_edges * max_nodes <= _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT
+    """Whether a fused TRAINING kernel pair (monolithic or edge-tiled) fits
+    at this bucket (callers fall back to XLA autodiff above it)."""
+    return _train_tiles_for(max_nodes, max_edges) is not None
 
 
 def _mm_t(dy, w):
@@ -351,6 +387,316 @@ def _train_bwd_kernel(meta, depth, with_attention, logits,
 
 
 # ---------------------------------------------------------------------------
+# edge-tiled training kernels (trainval buckets; VERDICT round-2 #2)
+# ---------------------------------------------------------------------------
+
+
+def _tile_onehots(src_ref, dst_ref, lo, tsz, n):
+    """Per-chunk one-hot gather/scatter tiles generated from the [E, 1]
+    masked index columns (masked edges carry -1 -> all-zero rows, exactly
+    zero contribution to every aggregation)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, n), 1)
+    oh_s = (iota == src_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
+    oh_d = (iota == dst_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
+    return oh_s, oh_d
+
+
+def _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention):
+    """Edge-side forward chain of one MP layer for one edge tile (through
+    f1/p1; f/p themselves are only needed by the forward's aggregation)."""
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     _, _, _, _, _) = W
+    x_j = _dot(oh_s, x)
+    x_i = _dot(oh_d, x)
+    ii = _dot(oh_d, x0)
+    ij = _dot(oh_s, x0)
+    h1p = _dot(x_i, eu0[0]) + _dot(x_j, eu0[1]) + _dot(e_t, eu0[2])
+    if with_attention:
+        h1p = h1p + _dot(att_t, eu0[3])
+    h1 = jnp.maximum(h1p + eu_b[0], 0.0)
+    h2 = jnp.maximum(_dot(h1, eu_rest[0]) + eu_b[1], 0.0)
+    ue = _dot(h2, eu_rest[1]) + eu_b[2]
+    f1 = jnp.maximum(
+        _dot(x_i, fut0[0]) + _dot(ue, fut0[1]) + _dot(ii, fut0[2]) + fut_b[0], 0.0
+    )
+    p1 = jnp.maximum(
+        _dot(x_j, past0[0]) + _dot(ue, past0[1]) + _dot(ij, past0[2]) + past_b[0], 0.0
+    )
+    return dict(x_j=x_j, x_i=x_i, ii=ii, ij=ij, h1=h1, h2=h2, ue=ue, f1=f1,
+                p1=p1)
+
+
+def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
+                            x0_ref, e0_ref, att_ref, src_ref, dst_ref,
+                            *rest):
+    """Tiled forward: per layer, edges are processed in ``n_tiles`` chunks;
+    the evolving edge attrs live in a VMEM scratch; per-layer residuals
+    (e_t full-E, agg_past/agg_future) are DMA'd to HBM stash arrays."""
+    w_refs = rest[:-7]
+    scores_ref, xs_ref, es_hbm, agg_hbm, e_scr, agg_scr, sem = rest[-7:]
+    W = _unpack(meta, tuple(r[:] for r in w_refs))
+    (_, _, _, _, fut_rest, fut_b, _, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = W
+    b = pl.program_id(0)
+    x0 = x0_ref[0]
+    n = x0.shape[0]
+    e_total = src_ref.shape[1]
+    tsz = e_total // n_tiles
+    msg_dim = comb0[0].shape[0]
+    e_scr[...] = e0_ref[0]
+
+    def layer(t, x):
+        xs_ref[0, t] = x
+        # stash e_t BEFORE the tiles overwrite the scratch in place
+        dma_e = pltpu.make_async_copy(e_scr, es_hbm.at[b, t], sem.at[0])
+        dma_e.start()
+        dma_e.wait()
+
+        def tile(tt, acc):
+            agg_p, agg_f = acc
+            lo = tt * tsz
+            oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
+            att_t = att_ref[0, pl.ds(lo, tsz)] if with_attention else None
+            o = _tile_chain(
+                x, x0, e_scr[pl.ds(lo, tsz)], att_t, oh_s, oh_d, W,
+                with_attention,
+            )
+            f = _dot(o["f1"], fut_rest[0]) + fut_b[1]
+            p = _dot(o["p1"], past_rest[0]) + past_b[1]
+            e_scr[pl.ds(lo, tsz)] = o["ue"]
+            return agg_p + _scatter_t(oh_d, p), agg_f + _scatter_t(oh_s, f)
+
+        agg_p, agg_f = jax.lax.fori_loop(
+            0, n_tiles, tile,
+            (jnp.zeros((n, msg_dim), jnp.float32),
+             jnp.zeros((n, msg_dim), jnp.float32)),
+        )
+        agg_scr[0] = agg_p
+        agg_scr[1] = agg_f
+        dma_a = pltpu.make_async_copy(agg_scr, agg_hbm.at[b, t], sem.at[1])
+        dma_a.start()
+        dma_a.wait()
+        c1 = jnp.maximum(_dot(agg_p, comb0[0]) + _dot(agg_f, comb0[1]) + comb_b[0], 0.0)
+        c2 = jnp.maximum(_dot(c1, comb_rest[0]) + comb_b[1], 0.0)
+        return _dot(c2, comb_rest[1]) + comb_b[2]
+
+    jax.lax.fori_loop(0, depth, layer, x0)
+    dma_e = pltpu.make_async_copy(e_scr, es_hbm.at[b, depth], sem.at[0])
+    dma_e.start()
+    dma_e.wait()
+    out = _classifier_forward(e_scr[...], cls_w, cls_b)[-1][:, 0]
+    if not logits:
+        out = jax.nn.sigmoid(out)
+    scores_ref[0] = jnp.broadcast_to(out[None, :], (8, out.shape[0]))
+
+
+def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
+                            ds_ref, xs_ref, es_hbm, agg_hbm, att_ref,
+                            src_ref, dst_ref, *rest):
+    """Tiled backward: reverse layer loop re-loading the HBM residuals per
+    layer; combine backward runs at node level from the stashed aggs; one
+    edge-tile pass per layer recomputes the intra-tile intermediates and
+    back-propagates. The initial-x cotangents (dII/dIJ) scatter into the
+    dx0 accumulator per tile instead of living as full-E buffers; the
+    carried cotangent of e_{t+1} lives in a VMEM scratch, overwritten in
+    place with the cotangent of e_t (read-before-write within each tile)."""
+    n_w = meta["_n_flat"]
+    w_refs = rest[:n_w]
+    out_refs = rest[n_w : n_w + 3 + n_w]
+    e_scr, due_scr, agg_scr, sem = rest[n_w + 3 + n_w :]
+    dx0_ref, de0_ref, datt_ref = out_refs[:3]
+    wgrad_refs = out_refs[3:]
+
+    W = _unpack(meta, tuple(r[:] for r in w_refs))
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = W
+    b = pl.program_id(0)
+    x0 = xs_ref[0, 0]
+    n = x0.shape[0]
+    e_total = src_ref.shape[1]
+    tsz = e_total // n_tiles
+    nd = x0.shape[1]
+    ed = e_scr.shape[1]
+
+    # ---- classifier backward (+ sigmoid when the primal emits scores) ----
+    dma = pltpu.make_async_copy(es_hbm.at[b, depth], e_scr, sem.at[0])
+    dma.start()
+    dma.wait()
+    hs = _classifier_forward(e_scr[...], cls_w, cls_b)
+    ds = ds_ref[0, 0][:, None]  # [E, 1]
+    if not logits:
+        s = jax.nn.sigmoid(hs[-1])
+        ds = ds * s * (1.0 - s)
+    dcls_w, dcls_b = [], []
+    dh = ds
+    for i in range(len(cls_w) - 1, -1, -1):
+        dcls_w.insert(0, _grad_w(hs[i], dh))
+        dcls_b.insert(0, _bsum(dh))
+        dh = _mm_t(dh, cls_w[i])
+        if i > 0:
+            dh = dh * (hs[i] > 0)
+    due_scr[...] = dh  # cotangent of e_depth
+    datt_ref[0] = jnp.zeros((e_total, ed), jnp.float32)
+
+    def g0(groups):
+        def z(w):
+            shape = (8, w.shape[1]) if w.shape[0] == 1 else w.shape
+            return jnp.zeros(shape, jnp.float32)
+
+        return tuple(tuple(z(w) for w in g) for g in groups)
+
+    grads0 = g0((eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest,
+                 past_b, comb0, comb_rest, comb_b))
+
+    def step(k, carry):
+        t = depth - 1 - k
+        dX, dx0_acc, G = carry
+        dma_e = pltpu.make_async_copy(es_hbm.at[b, t], e_scr, sem.at[0])
+        dma_a = pltpu.make_async_copy(agg_hbm.at[b, t], agg_scr, sem.at[1])
+        dma_e.start()
+        dma_a.start()
+        dma_e.wait()
+        dma_a.wait()
+        x = xs_ref[0, t]
+        agg_p = agg_scr[0]
+        agg_f = agg_scr[1]
+
+        # combine backward at node level (c1/c2 recomputed from the aggs)
+        c1 = jnp.maximum(_dot(agg_p, comb0[0]) + _dot(agg_f, comb0[1]) + comb_b[0], 0.0)
+        c2 = jnp.maximum(_dot(c1, comb_rest[0]) + comb_b[1], 0.0)
+        dWc3 = _grad_w(c2, dX)
+        dbc3 = _bsum(dX)
+        dc2 = _mm_t(dX, comb_rest[1]) * (c2 > 0)
+        dWc2 = _grad_w(c1, dc2)
+        dbc2 = _bsum(dc2)
+        dc1 = _mm_t(dc2, comb_rest[0]) * (c1 > 0)
+        dWc1a = _grad_w(agg_p, dc1)
+        dWc1b = _grad_w(agg_f, dc1)
+        dbc1 = _bsum(dc1)
+        dA = _mm_t(dc1, comb0[0])  # [N, msg] cotangent of agg_past
+        dB = _mm_t(dc1, comb0[1])  # cotangent of agg_future
+
+        def tile(tt, tc):
+            dX_new, dx0_a, G = tc
+            (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past,
+             g_pastb, g_comb0, g_comb, g_combb) = G
+            lo = tt * tsz
+            oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
+            e_t = e_scr[pl.ds(lo, tsz)]
+            att_t = att_ref[0, pl.ds(lo, tsz)] if with_attention else None
+            o = _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention)
+            dp = _dot(oh_d, dA)
+            df = _dot(oh_s, dB)
+
+            # past message backward
+            dWp2 = _grad_w(o["p1"], dp)
+            dbp2 = _bsum(dp)
+            dp1 = _mm_t(dp, past_rest[0]) * (o["p1"] > 0)
+            dWp1a = _grad_w(o["x_j"], dp1)
+            dWp1b = _grad_w(o["ue"], dp1)
+            dWp1c = _grad_w(o["ij"], dp1)
+            dbp1 = _bsum(dp1)
+            dx_j = _mm_t(dp1, past0[0])
+            due = _mm_t(dp1, past0[1])
+            dij = _mm_t(dp1, past0[2])
+
+            # future message backward
+            dWf2 = _grad_w(o["f1"], df)
+            dbf2 = _bsum(df)
+            df1 = _mm_t(df, fut_rest[0]) * (o["f1"] > 0)
+            dWf1a = _grad_w(o["x_i"], df1)
+            dWf1b = _grad_w(o["ue"], df1)
+            dWf1c = _grad_w(o["ii"], df1)
+            dbf1 = _bsum(df1)
+            dx_i = _mm_t(df1, fut0[0])
+            due = due + _mm_t(df1, fut0[1])
+            dii = _mm_t(df1, fut0[2])
+
+            # edge-update backward; the carried cotangent of e_{t+1} for
+            # this tile sits in due_scr (read before the in-place overwrite)
+            due = due + due_scr[pl.ds(lo, tsz)]
+            dW3 = _grad_w(o["h2"], due)
+            db3 = _bsum(due)
+            dh2 = _mm_t(due, eu_rest[1]) * (o["h2"] > 0)
+            dW2 = _grad_w(o["h1"], dh2)
+            db2 = _bsum(dh2)
+            dh1 = _mm_t(dh2, eu_rest[0]) * (o["h1"] > 0)
+            dW1a = _grad_w(o["x_i"], dh1)
+            dW1b = _grad_w(o["x_j"], dh1)
+            dW1c = _grad_w(e_t, dh1)
+            db1 = _bsum(dh1)
+            dx_i = dx_i + _mm_t(dh1, eu0[0])
+            dx_j = dx_j + _mm_t(dh1, eu0[1])
+            due_scr[pl.ds(lo, tsz)] = _mm_t(dh1, eu0[2])  # cotangent of e_t
+            if with_attention:
+                dW1d = _grad_w(att_t, dh1)
+                datt_ref[0, pl.ds(lo, tsz)] = (
+                    datt_ref[0, pl.ds(lo, tsz)] + _mm_t(dh1, eu0[3])
+                )
+                g_eu0_new = (g_eu0[0] + dW1a, g_eu0[1] + dW1b,
+                             g_eu0[2] + dW1c, g_eu0[3] + dW1d)
+            else:
+                g_eu0_new = (g_eu0[0] + dW1a, g_eu0[1] + dW1b, g_eu0[2] + dW1c)
+
+            dX_new = dX_new + _scatter_t(oh_s, dx_j) + _scatter_t(oh_d, dx_i)
+            # initial-x gathers scatter straight into the x0 accumulator
+            dx0_a = dx0_a + _scatter_t(oh_d, dii) + _scatter_t(oh_s, dij)
+
+            G_new = (
+                g_eu0_new,
+                (g_eu[0] + dW2, g_eu[1] + dW3),
+                (g_eub[0] + db1, g_eub[1] + db2, g_eub[2] + db3),
+                (g_fut0[0] + dWf1a, g_fut0[1] + dWf1b, g_fut0[2] + dWf1c),
+                (g_fut[0] + dWf2,),
+                (g_futb[0] + dbf1, g_futb[1] + dbf2),
+                (g_past0[0] + dWp1a, g_past0[1] + dWp1b, g_past0[2] + dWp1c),
+                (g_past[0] + dWp2,),
+                (g_pastb[0] + dbp1, g_pastb[1] + dbp2),
+                g_comb0, g_comb, g_combb,
+            )
+            return (dX_new, dx0_a, G_new)
+
+        dX_new, dx0_acc, G = jax.lax.fori_loop(
+            0, n_tiles, tile,
+            (jnp.zeros((n, nd), jnp.float32), dx0_acc, G),
+        )
+        (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past, g_pastb,
+         g_comb0, g_comb, g_combb) = G
+        G = (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past,
+             g_pastb,
+             (g_comb0[0] + dWc1a, g_comb0[1] + dWc1b),
+             (g_comb[0] + dWc2, g_comb[1] + dWc3),
+             (g_combb[0] + dbc1, g_combb[1] + dbc2, g_combb[2] + dbc3))
+        return (dX_new, dx0_acc, G)
+
+    carry0 = (
+        jnp.zeros((n, nd), jnp.float32),  # x_depth is unused by the loss
+        jnp.zeros((n, nd), jnp.float32),
+        grads0,
+    )
+    dX, dx0_acc, G = jax.lax.fori_loop(0, depth, step, carry0)
+
+    dx0_ref[0] = dX + dx0_acc
+    de0_ref[0] = due_scr[...]
+
+    flat_grads = []
+    for group in G:
+        flat_grads.extend(group)
+    flat_grads.extend(dcls_w)
+    flat_grads.extend(dcls_b)
+    first = pl.program_id(0) == 0
+    for ref, g in zip(wgrad_refs, flat_grads):
+
+        @pl.when(first)
+        def _(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -473,9 +819,126 @@ def _get_vjp(meta_key, meta, depth, with_attention, logits, interpret):
     return mp_scores
 
 
+def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
+                   msg_dim, interpret):
+    """Tiled-variant custom_vjp: inputs are [B, E, 1] masked index columns
+    (one-hot tiles are generated in-kernel); the full-E residuals live in
+    HBM stash arrays between forward and backward."""
+    key = ("tiled", meta_key, depth, with_attention, logits, n_tiles,
+           msg_dim, interpret)
+    if key in _VJP_CACHE:
+        return _VJP_CACHE[key]
+
+    def _fwd(x0, e0, att, src_col, dst_col, flat):
+        b, n, nd = x0.shape
+        e_cnt, ed = e0.shape[1], e0.shape[2]
+        kernel = functools.partial(
+            _train_fwd_kernel_tiled, meta, depth, with_attention, logits,
+            n_tiles,
+        )
+        scores, xs, es, agg = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                _win_spec(n, nd),
+                _win_spec(e_cnt, ed),
+                _win_spec(e_cnt, ed),
+                _win_spec(e_cnt, 1),
+                _win_spec(e_cnt, 1),
+                *[_const_spec(w.shape) for w in flat],
+            ],
+            out_specs=[
+                _win_spec(8, e_cnt),
+                _win_spec(depth, n, nd),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 8, e_cnt), jnp.float32),
+                jax.ShapeDtypeStruct((b, depth, n, nd), jnp.float32),
+                jax.ShapeDtypeStruct((b, depth + 1, e_cnt, ed), jnp.float32),
+                jax.ShapeDtypeStruct((b, depth, 2, n, msg_dim), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((e_cnt, ed), jnp.float32),
+                pltpu.VMEM((2, n, msg_dim), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(x0, e0, att, src_col, dst_col, *flat)
+        return scores[:, 0, :], xs, es, agg
+
+    @jax.custom_vjp
+    def mp_scores(x0, e0, att, src_col, dst_col, flat):
+        out, _, _, _ = _fwd(x0, e0, att, src_col, dst_col, flat)
+        return out
+
+    def fwd_rule(x0, e0, att, src_col, dst_col, flat):
+        out, xs, es, agg = _fwd(x0, e0, att, src_col, dst_col, flat)
+        return out, (xs, es, agg, att, src_col, dst_col, flat)
+
+    def bwd_rule(res, ds):
+        xs, es, agg, att, src_col, dst_col, flat = res
+        b, _, n, nd = xs.shape
+        e_cnt, ed = es.shape[2], es.shape[3]
+        meta2 = dict(meta)
+        meta2["_n_flat"] = len(flat)
+        kernel = functools.partial(
+            _train_bwd_kernel_tiled, meta2, depth, with_attention, logits,
+            n_tiles,
+        )
+        ds8 = jnp.broadcast_to(ds[:, None, :], (b, 8, e_cnt))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                _win_spec(8, e_cnt),
+                _win_spec(xs.shape[1], n, nd),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                _win_spec(e_cnt, ed),
+                _win_spec(e_cnt, 1),
+                _win_spec(e_cnt, 1),
+                *[_const_spec(w.shape) for w in flat],
+            ],
+            out_specs=[
+                _win_spec(n, nd),
+                _win_spec(e_cnt, ed),
+                _win_spec(e_cnt, ed),
+                *[_const_spec(_g_shape(w)) for w in flat],
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n, nd), jnp.float32),
+                jax.ShapeDtypeStruct((b, e_cnt, ed), jnp.float32),
+                jax.ShapeDtypeStruct((b, e_cnt, ed), jnp.float32),
+                *[jax.ShapeDtypeStruct(_g_shape(w), jnp.float32) for w in flat],
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((e_cnt, ed), jnp.float32),
+                pltpu.VMEM((e_cnt, ed), jnp.float32),
+                pltpu.VMEM((2, n, msg_dim), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(ds8, xs, es, agg, att, src_col, dst_col, *flat)
+        dx0, de0, datt = outs[:3]
+        dflat = tuple(
+            o[0:1] if w.shape[0] == 1 else o for o, w in zip(outs[3:], flat)
+        )
+        if not with_attention:
+            datt = jnp.zeros_like(datt)
+        return (dx0, de0, datt, jnp.zeros_like(src_col),
+                jnp.zeros_like(dst_col), dflat)
+
+    mp_scores.defvjp(fwd_rule, bwd_rule)
+    _VJP_CACHE[key] = mp_scores
+    return mp_scores
+
+
 def fused_training_scores(
     model, variables_extra: dict, params: dict, batch,
-    encodings: Optional[Tuple] = None, interpret: bool = False
+    encodings: Optional[Tuple] = None, interpret: bool = False,
+    force_tiles: Optional[int] = None,
 ) -> jax.Array:
     """Differentiable fused scores [B, E] for the GNN trainer.
 
@@ -523,12 +986,27 @@ def fused_training_scores(
 
     b, n, _ = x0.shape
     e_cnt = batch.edge_src.shape[1]
+    meta_key = tuple(sorted(meta.items()))
+    n_tiles = force_tiles if force_tiles is not None else _train_tiles_for(n, e_cnt)
+    assert n_tiles is not None and e_cnt % n_tiles == 0, (n, e_cnt, n_tiles)
+    if n_tiles > 1:
+        # tiled path: ship [E, 1] masked index columns; one-hot tiles are
+        # generated in-kernel (an XLA-materialized [B, E, N] one-hot would
+        # dominate VMEM at trainval buckets)
+        neg = jnp.int32(-1)
+        src_col = jnp.where(batch.edge_mask, batch.edge_src, neg)[..., None].astype(jnp.int32)
+        dst_col = jnp.where(batch.edge_mask, batch.edge_dst, neg)[..., None].astype(jnp.int32)
+        msg_dim = _unpack(meta, flat)[9][0].shape[0]
+        fn = _get_vjp_tiled(
+            meta_key, meta, model.depth, with_attention, logits, n_tiles,
+            msg_dim, interpret,
+        )
+        return fn(x0, e0, att, src_col, dst_col, flat)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, e_cnt, n), 2)
     emask = batch.edge_mask[..., None]
     oh_src = ((iota == batch.edge_src[..., None]) & emask).astype(jnp.float32)
     oh_dst = ((iota == batch.edge_dst[..., None]) & emask).astype(jnp.float32)
 
-    meta_key = tuple(sorted(meta.items()))
     fn = _get_vjp(meta_key, meta, model.depth, with_attention, logits, interpret)
     # pose emits LOGITS, mm emits sigmoid scores — same contract as the
     # models' __call__ (the trainer's masked_bce handles from_logits)

@@ -95,17 +95,97 @@ def test_fused_training_grads_modality_subset():
     _grad_compare(model, _batch(True), "mm img-only depth2")
 
 
-def test_fused_train_guard_tighter_than_inference():
-    """The training backward OOMs scoped VMEM at buckets the INFERENCE
-    kernel still fits (measured: (128, 1024) backward needs 20.1 MB > the
-    16 MB/core limit) — the trainer must use the tighter guard."""
-    from batch3dmot_tpu.ops.pallas_mp import fused_supported
-    from batch3dmot_tpu.ops.pallas_mp_train import fused_train_supported
+def test_fused_train_guard_coverage():
+    """Monolithic kernels cover up to (64, 512); the edge-tiled pair
+    (round-3) extends coverage to the trainval training buckets; beyond
+    the tiled VMEM model callers fall back to XLA autodiff."""
+    from batch3dmot_tpu.ops.pallas_mp_train import (
+        _train_tiles_for,
+        fused_train_supported,
+    )
 
-    assert fused_train_supported(64, 256)
-    assert fused_train_supported(64, 512)  # measured-good production bucket
-    assert not fused_train_supported(128, 1024)  # measured VMEM OOM
-    assert fused_supported(128, 1024)  # ...while inference still fits
+    assert _train_tiles_for(64, 256) == 1  # monolithic
+    assert _train_tiles_for(64, 512) == 1
+    assert _train_tiles_for(128, 1024) == 2  # tiled from here up
+    assert _train_tiles_for(256, 2048) == 8
+    assert _train_tiles_for(256, 4096) == 16  # trainval L=5 training bucket
+    assert fused_train_supported(256, 4096)
+    assert not fused_train_supported(512, 8192)  # beyond the VMEM model
+
+
+def _grad_compare_tiled(model, batch, n_tiles, desc):
+    """Tiled fused kernels vs XLA autodiff on the raw score path (the
+    trainer-level comparison is covered by _grad_compare; here the tile
+    count is forced so small CPU-sized buckets exercise the tiled code)."""
+    from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
+
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jax.tree.map(lambda x: x[0], batch)
+    )
+    variables = dict(variables)
+    params = variables.pop("params")
+
+    def f_xla(p):
+        vs = {"params": p, **variables}
+        scores = jax.vmap(lambda g: model.apply(vs, g)[0])(batch)
+        return jnp.sum(jnp.where(batch.edge_mask, scores * batch.edge_weight, 0.0))
+
+    def f_tiled(p):
+        scores = fused_training_scores(
+            model, variables, p, batch, interpret=True, force_tiles=n_tiles
+        )
+        return jnp.sum(jnp.where(batch.edge_mask, scores * batch.edge_weight, 0.0))
+
+    l_ref, g_ref = jax.value_and_grad(f_xla)(params)
+    l_t, g_t = jax.value_and_grad(f_tiled)(params)
+    np.testing.assert_allclose(float(l_t), float(l_ref), rtol=1e-4)
+    flat_t = dict(
+        (jax.tree_util.keystr(k), v) for k, v in jax.tree.leaves_with_path(g_t)
+    )
+    checked = 0
+    for k, v_ref in jax.tree.leaves_with_path(g_ref):
+        name = jax.tree_util.keystr(k)
+        scale = max(float(np.abs(v_ref).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(flat_t[name]), np.asarray(v_ref),
+            rtol=5e-3, atol=2e-4 * scale,
+            err_msg=f"{desc}: grad mismatch at {name}",
+        )
+        checked += 1
+    assert checked > 10
+
+
+def test_tiled_training_grads_pose():
+    _grad_compare_tiled(PoseGNN(depth=3), _batch(False), 4, "pose tiled depth3")
+
+
+def test_tiled_training_grads_multimodal():
+    _grad_compare_tiled(MultimodalGNN(depth=2), _batch(True), 4, "mm tiled depth2")
+
+
+def test_tiled_training_grads_trainval_bucket():
+    """Gradient equivalence at a REAL tiled bucket: (256, 2048) with its
+    auto-chosen 8 tiles (depth 2, one window, to keep CPU interpret time
+    bounded)."""
+    batch = _batch(False, mn=256, me=2048, n_windows=1)
+    _grad_compare_tiled(
+        PoseGNN(depth=2), batch, None, "pose tiled (256,2048)"
+    )
+
+
+def test_tiled_training_through_trainer():
+    """The trainer auto-dispatches to the tiled kernels at buckets above
+    the monolithic ceiling: a few steps at (64, 1024) (2 tiles) must run
+    and reduce the loss."""
+    batch = _batch(False, mn=64, me=1024)
+    model = PoseGNN(depth=2)
+    cfg = GNNConfig(batch_size=batch.pose.shape[0], lr=1e-3, weight_decay=0.0)
+    tr = GNNTrainer(model, jax.tree.map(lambda x: x[0], batch), cfg, fused=True)
+    losses = []
+    for _ in range(4):
+        tr.state, loss, _ = tr._train_step(tr.state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
 
 
 def test_fused_training_step_learns_pose():
