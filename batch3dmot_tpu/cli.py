@@ -328,33 +328,30 @@ def cmd_train_gnn(args) -> None:
         # clr_att_gnn.py:125-141).
         if type(model).__name__ == "PoseGNN":
             raise SystemExit("--encoded applies to the multimodal models only")
-        from batch3dmot_tpu.train.encoded import (
-            EncodedGraphBatcher,
-            precompute_scene_encodings,
-        )
+        from batch3dmot_tpu.train.encoded import StreamingEncodedBatcher
 
-        def encoded_items(paths):
-            items = []
-            for path in paths:
-                windows = GraphStoreReader(path).windows()
-                scene = _scene_from_store(path, windows, with_modalities=True)
-                if scene.img is None and scene.lidar is None and scene.radar is None:
-                    raise SystemExit(
-                        f"--encoded: {path} carries no modality arrays; "
-                        "build graphs with sensors enabled"
-                    )
-                enc = precompute_scene_encodings(model, trainer.variables, scene)
-                items.extend((w, enc) for w in windows)
-            return items
+        def scene_loader(path):
+            windows = GraphStoreReader(path).windows()
+            scene = _scene_from_store(path, windows, with_modalities=True)
+            if scene.img is None and scene.lidar is None and scene.radar is None:
+                raise SystemExit(
+                    f"--encoded: {path} carries no modality arrays; "
+                    "build graphs with sensors enabled"
+                )
+            return scene
 
-        # uniform=True: one shape for the whole epoch so the K-step fused
-        # scan groups cleanly (train.data.uniform_bucket)
-        train_batcher = EncodedGraphBatcher(
-            encoded_items(train_paths), cfg.gnn.batch_size, uniform=True
+        # scene-streaming: memory bounded by one scene; encoding tables
+        # persist next to the stores keyed by the encoder digest, so a
+        # restarted run re-encodes nothing. uniform=True: one shape for
+        # the whole epoch so the K-step fused scan groups cleanly.
+        train_batcher = StreamingEncodedBatcher(
+            train_paths, model, trainer.variables, scene_loader,
+            cfg.gnn.batch_size, uniform=True,
         )
         val_batcher = (
-            EncodedGraphBatcher(
-                encoded_items(val_paths), cfg.gnn.batch_size, uniform=True
+            StreamingEncodedBatcher(
+                val_paths, model, trainer.variables, scene_loader,
+                cfg.gnn.batch_size, uniform=True,
             )
             if val_paths
             else None

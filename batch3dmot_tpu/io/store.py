@@ -181,6 +181,18 @@ class GraphStoreReader:
     def windows(self) -> List[WindowGraphArrays]:
         return [self.window(i) for i in range(self.num_windows)]
 
+    def window_sizes(self):
+        """(nodes, edges) per window from the header entries alone — no
+        array data is touched (mirrors NativeGraphStore.window_sizes; used
+        by streaming batchers to index buckets without loading scenes)."""
+        nodes, edges = [], []
+        for i in range(self.num_windows):
+            pose_entry = self._entries[i * self.arrays_per_window + SCHEMA.index("pose")]
+            src_entry = self._entries[i * self.arrays_per_window + SCHEMA.index("edge_src")]
+            nodes.append(int(pose_entry[2][0]))
+            edges.append(int(src_entry[2][0]))
+        return nodes, edges
+
 
 def load_scene_graphs(path: str) -> List[WindowGraphArrays]:
     return GraphStoreReader(path).windows()

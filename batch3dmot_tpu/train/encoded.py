@@ -12,6 +12,7 @@ fc_lidar/fc_radar projections, attention, message passing — are untouched).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Iterator, List, Sequence, Tuple
 
 import jax
@@ -89,6 +90,188 @@ def precompute_scene_encodings(
     }
 
 
+def _encoder_digest(model, variables) -> str:
+    """Digest of the frozen-encoder parameter subtrees — keys the on-disk
+    encoding caches so a re-grafted encoder checkpoint invalidates them."""
+    from batch3dmot_tpu.infer.aot import pytree_digest
+
+    params = dict(variables).get("params", {})
+    stats = dict(variables).get("batch_stats", {})
+    subtrees = {
+        name: (params.get(name), stats.get(name))
+        for name in ("resnet", "pointnet", "radarnet")
+        if name in params
+    }
+    return pytree_digest(subtrees)
+
+
+def scene_encodings_cached(
+    model, variables, store_path: str, scene_loader, cache: bool = True
+) -> Dict[str, np.ndarray]:
+    """Per-scene encoding table, persisted next to the ``.b3d`` store as
+    ``<store>.enc.npz`` keyed by the frozen-encoder digest (round-3: lets
+    ``--encoded`` training stream scene-by-scene and restart without
+    re-encoding; the reference has no equivalent — it re-encodes every
+    window every epoch, ``clr_att_gnn.py:125-141``)."""
+    digest = _encoder_digest(model, variables)
+    cache_path = f"{store_path}.enc.npz"
+    if cache and os.path.exists(cache_path):
+        with np.load(cache_path, allow_pickle=False) as z:
+            if str(z["digest"]) == digest:
+                return {k: z[k] for k in ENC_KEYS}
+    scene = scene_loader(store_path)
+    enc = precompute_scene_encodings(model, variables, scene)
+    if cache:
+        # atomic via rename; np.savez appends '.npz' unless present
+        tmp = f"{cache_path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, digest=digest, **enc)
+        os.replace(tmp, cache_path)
+    return enc
+
+
+ENC_KEYS = ("x_img", "pn", "rn", "lidar_present", "radar_present")
+
+
+class StreamingEncodedBatcher:
+    """Scene-streaming variant of :class:`EncodedGraphBatcher`.
+
+    Memory is bounded by ONE scene: window sizes are indexed from the store
+    headers alone (``GraphStoreReader.window_sizes``), each epoch walks the
+    scenes in shuffled order, and a scene's windows + encoding table are
+    only resident while its batches are being emitted. Encoding tables are
+    computed once and persisted via :func:`scene_encodings_cached`.
+
+    The trade-off vs the in-RAM batcher is shuffle granularity: windows
+    shuffle within a scene and scenes shuffle across the epoch, but one
+    batch never mixes scenes (the reference's DataLoader shuffles globally;
+    at ~36 windows/scene and batch size 2 the gradient-noise difference is
+    negligible while memory drops from O(dataset) to O(scene)).
+    """
+
+    def __init__(
+        self,
+        store_paths: Sequence[str],
+        model,
+        variables,
+        scene_loader,
+        batch_size: int,
+        buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+        seed: int = 0,
+        uniform: bool = False,
+        cache: bool = True,
+    ):
+        from batch3dmot_tpu.io.store import GraphStoreReader
+
+        self.batch_size = batch_size
+        self.model = model
+        # own COPY of the (frozen-encoder) variables: scenes are encoded
+        # lazily DURING training, and the trainer's step donates its state
+        # buffers — holding the caller's arrays would hit
+        # 'Array has been deleted' on the second scene
+        self.variables = jax.tree.map(lambda x: jnp.array(x), variables)
+        self.scene_loader = scene_loader
+        self.cache = cache
+        self._rng = np.random.default_rng(seed)
+        self.store_paths = list(store_paths)
+        # header-only size index (no array data loaded)
+        self._sizes = []
+        all_sizes = []
+        for p in self.store_paths:
+            nodes, edges = GraphStoreReader(p).window_sizes()
+            self._sizes.append((nodes, edges))
+            all_sizes.extend(
+                (n, e) for n, e in zip(nodes, edges) if n > 0 and e > 0
+            )
+        if uniform:
+            from batch3dmot_tpu.train.data import uniform_bucket
+
+            buckets = uniform_bucket(all_sizes, buckets)
+        self.buckets = tuple(buckets)
+
+    def __len__(self) -> int:
+        total = 0
+        for nodes, edges in self._sizes:
+            by_bucket: Dict[Tuple[int, int], int] = {}
+            for n, e in zip(nodes, edges):
+                if n > 0 and e > 0:
+                    b = pick_bucket(n, e, self.buckets)
+                    by_bucket[b] = by_bucket.get(b, 0) + 1
+            total += sum(
+                (c + self.batch_size - 1) // self.batch_size
+                for c in by_bucket.values()
+            )
+        return total
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Tuple[PaddedGraph, Tuple]]:
+        from batch3dmot_tpu.io.store import GraphStoreReader
+
+        scene_order = np.arange(len(self.store_paths))
+        if shuffle:
+            self._rng.shuffle(scene_order)
+        for si in scene_order:
+            path = self.store_paths[si]
+            nodes, edges = self._sizes[si]
+            live = [i for i in range(len(nodes)) if nodes[i] > 0 and edges[i] > 0]
+            if not live:
+                continue
+            enc = scene_encodings_cached(
+                self.model, self.variables, path, self.scene_loader, self.cache
+            )
+            reader = GraphStoreReader(path)
+            by_bucket: Dict[Tuple[int, int], List[int]] = {}
+            for i in live:
+                b = pick_bucket(nodes[i], edges[i], self.buckets)
+                by_bucket.setdefault(b, []).append(i)
+            scene_batches = []
+            for b, idxs in by_bucket.items():
+                order = np.array(idxs)
+                if shuffle:
+                    self._rng.shuffle(order)
+                for lo in range(0, len(order), self.batch_size):
+                    scene_batches.append((b, order[lo : lo + self.batch_size]))
+            if shuffle:
+                self._rng.shuffle(scene_batches)
+            for (mn, me), idxs in scene_batches:
+                windows = [reader.window(int(i)) for i in idxs]
+                yield _assemble_encoded_batch(
+                    windows, [enc] * len(windows), self.batch_size, mn, me
+                )
+            del reader, enc  # scene residency ends here
+
+
+def _assemble_encoded_batch(windows, encs, batch_size, mn, me):
+    """Fixed-shape (PaddedGraph, encoding-tuple) batch from window/enc
+    pairs (shared by the in-RAM and streaming batchers)."""
+    graphs = []
+    xi = np.zeros((batch_size, mn, 96), np.float32)
+    pn = np.zeros((batch_size, mn, 256), np.float32)
+    rn = np.zeros((batch_size, mn, 256), np.float32)
+    lp = np.zeros((batch_size, mn), bool)
+    rp = np.zeros((batch_size, mn), bool)
+    for slot, (w, enc) in enumerate(zip(windows, encs)):
+        graphs.append(
+            pad_graph(
+                pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+                edge_attr=w.edge_attr, node_time=w.node_time,
+                node_class=w.node_class, max_nodes=mn, max_edges=me,
+                edge_label=w.edge_label, edge_weight=w.edge_weight,
+                include_modalities=False,
+            )
+        )
+        n = w.num_nodes
+        di = w.det_index
+        xi[slot, :n] = enc["x_img"][di]
+        pn[slot, :n] = enc["pn"][di]
+        rn[slot, :n] = enc["rn"][di]
+        lp[slot, :n] = enc["lidar_present"][di]
+        rp[slot, :n] = enc["radar_present"][di]
+    while len(graphs) < batch_size:
+        graphs.append(empty_graph(mn, me, include_modalities=False))
+    # numpy staging end to end — one device transfer per field at the jit
+    # boundary (graph.batch_graphs rationale)
+    return batch_graphs(graphs), (xi, pn, rn, lp, rp)
+
+
 class EncodedGraphBatcher:
     """Yields (PaddedGraph-without-modalities, encoding pytree) batches.
 
@@ -141,32 +324,8 @@ class EncodedGraphBatcher:
             self._rng.shuffle(batches)
 
         for (mn, me), idxs in batches:
-            graphs = []
-            xi = np.zeros((self.batch_size, mn, 96), np.float32)
-            pn = np.zeros((self.batch_size, mn, 256), np.float32)
-            rn = np.zeros((self.batch_size, mn, 256), np.float32)
-            lp = np.zeros((self.batch_size, mn), bool)
-            rp = np.zeros((self.batch_size, mn), bool)
-            for slot, i in enumerate(idxs):
-                w, enc = self.items[i]
-                graphs.append(
-                    pad_graph(
-                        pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
-                        edge_attr=w.edge_attr, node_time=w.node_time,
-                        node_class=w.node_class, max_nodes=mn, max_edges=me,
-                        edge_label=w.edge_label, edge_weight=w.edge_weight,
-                        include_modalities=False,
-                    )
-                )
-                n = w.num_nodes
-                di = w.det_index
-                xi[slot, :n] = enc["x_img"][di]
-                pn[slot, :n] = enc["pn"][di]
-                rn[slot, :n] = enc["rn"][di]
-                lp[slot, :n] = enc["lidar_present"][di]
-                rp[slot, :n] = enc["radar_present"][di]
-            while len(graphs) < self.batch_size:
-                graphs.append(empty_graph(mn, me, include_modalities=False))
-            # numpy staging end to end — one device transfer per field at
-            # the jit boundary (graph.batch_graphs rationale)
-            yield batch_graphs(graphs), (xi, pn, rn, lp, rp)
+            pairs = [self.items[i] for i in idxs]
+            yield _assemble_encoded_batch(
+                [w for w, _ in pairs], [e for _, e in pairs],
+                self.batch_size, mn, me,
+            )

@@ -1,5 +1,7 @@
 """Training-loop tests: metrics goldens, loss decrease on synthetic data."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -190,6 +192,135 @@ def test_encoded_training_learns():
     batcher = EncodedGraphBatcher(items, 2, BUCKETS)
     hist = trainer.fit(batcher, epochs=4, verbose=False)
     assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+
+
+def _streaming_fixture(tmp_path, n_scenes=3):
+    """Scene stores on disk + scene objects for the streaming batcher."""
+    from batch3dmot_tpu.io import save_scene_graphs
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scenes, paths = [], []
+    for seed in range(n_scenes):
+        scene = make_synthetic_scene(
+            seed=seed, num_frames=6, num_tracks=5, with_modalities=True,
+            modality_dropout=0.3,
+        )
+        windows = list(build_scene_graphs(scene, 3, gc))
+        save_scene_graphs(windows, str(tmp_path), metadata=scene.metadata)
+        scenes.append(scene)
+        paths.append(
+            str(tmp_path / f"{scene.scene_token}_len3.b3d")
+        )
+    by_path = dict(zip(paths, scenes))
+    return paths, lambda p: by_path[p]
+
+
+def test_streaming_encoded_batcher_matches_in_ram(tmp_path):
+    """The scene-streaming batcher must yield the same batch content as the
+    in-RAM EncodedGraphBatcher (single scene, no shuffle), create on-disk
+    encoding caches, and serve entirely from them on re-iteration."""
+    import jax
+
+    from batch3dmot_tpu.io import load_scene_graphs
+    from batch3dmot_tpu.train import encoded as enc_mod
+    from batch3dmot_tpu.train.encoded import (
+        EncodedGraphBatcher,
+        StreamingEncodedBatcher,
+        precompute_scene_encodings,
+    )
+
+    paths, loader = _streaming_fixture(tmp_path, n_scenes=1)
+    model = MultimodalGNN(depth=2)
+    windows = [w for w in load_scene_graphs(paths[0]) if w.num_edges > 0]
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+
+    enc = precompute_scene_encodings(model, variables, loader(paths[0]), chunk=64)
+    ram = EncodedGraphBatcher([(w, enc) for w in windows], 2, BUCKETS, seed=0)
+    stream = StreamingEncodedBatcher(
+        paths, model, variables, loader, 2, BUCKETS, seed=0
+    )
+    assert len(stream) == len(ram)
+    for (g_r, e_r), (g_s, e_s) in zip(
+        ram.epoch(shuffle=False), stream.epoch(shuffle=False)
+    ):
+        for a, b in zip(
+            jax.tree.leaves((g_r, e_r)), jax.tree.leaves((g_s, e_s))
+        ):
+            # encodings computed at different chunk sizes (64 in-RAM here
+            # vs the streaming default) differ by f32 padding-batch noise
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-3, atol=1e-5,
+            )
+    assert os.path.exists(paths[0] + ".enc.npz")
+
+    # second epoch must be served from the cache: poison the encoder
+    def boom(*a, **k):
+        raise AssertionError("cache miss: re-encoded a cached scene")
+
+    orig = enc_mod.precompute_scene_encodings
+    enc_mod.precompute_scene_encodings = boom
+    try:
+        n = sum(1 for _ in stream.epoch())
+    finally:
+        enc_mod.precompute_scene_encodings = orig
+    assert n == len(stream)
+
+
+def test_streaming_encoded_batcher_covers_all_windows(tmp_path):
+    """Every live window of every scene appears exactly once per epoch;
+    __len__ matches the emitted batch count (multi-scene)."""
+    import jax
+
+    from batch3dmot_tpu.io import load_scene_graphs
+    from batch3dmot_tpu.train.encoded import StreamingEncodedBatcher
+
+    paths, loader = _streaming_fixture(tmp_path, n_scenes=3)
+    model = MultimodalGNN(depth=2)
+    first = [w for w in load_scene_graphs(paths[0]) if w.num_edges > 0][0]
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(first, *BUCKETS[0])
+    )
+    stream = StreamingEncodedBatcher(
+        paths, model, variables, loader, 2, BUCKETS, seed=1, uniform=True
+    )
+    want = sum(
+        1
+        for p in paths
+        for w in load_scene_graphs(p)
+        if w.num_nodes > 0 and w.num_edges > 0
+    )
+    got = 0
+    batches = 0
+    for g, _ in stream.epoch():
+        batches += 1
+        got += int(np.asarray(g.node_mask).any(axis=1).sum())
+    # node_mask.any per slot counts real (non-empty-padding) windows
+    assert got == want
+    assert batches == len(stream)
+
+
+def test_streaming_cache_invalidates_on_encoder_change(tmp_path):
+    """A different encoder checkpoint must invalidate the on-disk encoding
+    cache (digest mismatch -> re-encode)."""
+    import jax
+
+    from batch3dmot_tpu.io import load_scene_graphs
+    from batch3dmot_tpu.train.encoded import scene_encodings_cached
+
+    paths, loader = _streaming_fixture(tmp_path, n_scenes=1)
+    model = MultimodalGNN(depth=2)
+    first = [w for w in load_scene_graphs(paths[0]) if w.num_edges > 0][0]
+    v1 = jax.jit(model.init)(jax.random.key(0), to_padded(first, *BUCKETS[0]))
+    v2 = jax.jit(model.init)(jax.random.key(7), to_padded(first, *BUCKETS[0]))
+
+    e1 = scene_encodings_cached(model, v1, paths[0], loader)
+    e1_again = scene_encodings_cached(model, v1, paths[0], loader)
+    np.testing.assert_array_equal(e1["x_img"], e1_again["x_img"])
+    e2 = scene_encodings_cached(model, v2, paths[0], loader)
+    assert not np.allclose(e1["x_img"], e2["x_img"])
 
 
 def test_fused_multi_step_matches_sequential():
