@@ -648,11 +648,6 @@ def _run_predict(
         )
     if pipeline == "auto":
         pipeline = "windows" if is_pose else "encoded"
-    if pipeline == "device" and mesh is not None:
-        raise SystemExit(
-            "--devices is not supported by the fused device pipeline yet; "
-            "use --pipeline encoded (sharded) or drop --devices"
-        )
     if is_pose and pipeline in ("encoded", "device"):
         raise SystemExit(
             f"--pipeline {pipeline} applies to the multimodal models; "
@@ -701,6 +696,7 @@ def _run_predict(
             cfg.predict.batch_size_graph,
             cfg.graph_construction.top_knn_nodes,
             aot_dir=aot_cache,
+            mesh=mesh,
         )
     else:
         raise SystemExit(f"Unknown pipeline '{pipeline}'")
@@ -760,86 +756,121 @@ def _run_predict(
                 _pad_detection_count(s.num_detections) for s, _ in scene_iter
             )
 
-    # Two-stage software pipeline: scene i+1's scoring (device dispatch +
-    # relay fetch, GIL released) runs on a worker thread while the main
-    # thread assembles scene i's tracks and writes its JSON — the relay
-    # round trip is the steady-state floor otherwise (docs/RESULTS.md).
+    # Two-stage software pipeline: the next batch's scoring (device
+    # dispatch + relay fetch, GIL released) runs on a worker thread while
+    # the main thread assembles the current batch's tracks and writes its
+    # JSONs — the relay round trip is the steady-state floor otherwise
+    # (docs/RESULTS.md). The device pipeline additionally GROUPS
+    # cfg.predict.scenes_per_batch scenes into ONE program dispatch
+    # (DeviceScenePipeline.score_scenes) so that round trip is paid per
+    # group, not per scene (the reference fans scenes out over a ray pool,
+    # predict.py:636-650; here the fan-out is one batched XLA program).
     from concurrent.futures import ThreadPoolExecutor
+
+    group_size = (
+        max(1, cfg.predict.scenes_per_batch) if pipeline == "device" else 1
+    )
 
     def _results_path(scene):
         return os.path.join(
             edge_scores_dir, f"{scene.scene_token}_results.json"
         )
 
-    def _stage(item):
-        """None (end), ('cached', payload) or ('fut', future)."""
-        if item is None:
-            return None
-        scene, windows = item
-        if skip_existing and os.path.exists(_results_path(scene)):
-            with open(_results_path(scene)) as f:
-                return ("cached", json.load(f))
-        return ("fut", ex.submit(_score_one, scene, windows))
+    def _score_group(items):
+        if pipeline == "device" and len(items) > 1:
+            from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
+
+            avgs = device_pipe.score_scenes([s for s, _ in items])
+            out = []
+            for (scene, _), avg in zip(items, avgs):
+                kept = threshold_edges(
+                    avg, scene, cfg.predict.edge_score_thresholds
+                )
+                out.append((greedy_round(kept), avg, len(avg)))
+            return out
+        return [_score_one(s, w) for s, w in items]
+
+    def _items():
+        """('cached', scene, payload) singles and ('group', [(scene,
+        windows), ...]) batches, in scene order (the buffer flushes before
+        a cached scene so resumed runs keep their numbering)."""
+        buf = []
+        for scene, windows in scene_iter:
+            if skip_existing and os.path.exists(_results_path(scene)):
+                if buf:
+                    yield ("group", buf)
+                    buf = []
+                with open(_results_path(scene)) as f:
+                    yield ("cached", scene, json.load(f))
+                continue
+            buf.append((scene, windows))
+            if len(buf) >= group_size:
+                yield ("group", buf)
+                buf = []
+        if buf:
+            yield ("group", buf)
+
+    def _assemble(scene, pred_edges, avg_scores, scored):
+        nonlocal n_edges
+        n_edges += scored
+        with open(
+            os.path.join(
+                edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
+            ),
+            "w",
+        ) as f:
+            json.dump({str(k): v for k, v in avg_scores.items()}, f)
+        cats = {i: m["category_name"] for i, m in enumerate(scene.metadata)}
+        tracks = hierarchical_clusters(
+            pred_edges, cats, cfg.predict.join_score_thresholds
+        )
+        results = scene_results(
+            tracks, scene, cfg.predict.interpolate_trailer_tracks
+        )
+        # persist for --skip-existing resume (atomic via rename so a kill
+        # mid-write can't leave a readable half file)
+        tmp = f"{_results_path(scene)}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"results": results, "num_tracks": len(tracks),
+                 "scored": scored},
+                f,
+            )
+        os.replace(tmp, _results_path(scene))
+        all_results.append(results)
+        scene_track_counts.append(len(tracks))
 
     scene_track_counts: List[int] = []
-    it = iter(scene_iter)
     with ThreadPoolExecutor(max_workers=1) as ex:
-        cur = next(it, None)
-        staged = _stage(cur)
+
+        def _stage(item):
+            if item is None or item[0] == "cached":
+                return item
+            return ("fut", item[1], ex.submit(_score_group, item[1]))
+
+        it = _items()
+        staged = _stage(next(it, None))
         while staged is not None:
-            nxt = next(it, None)
-            staged_next = _stage(nxt)  # enqueue BEFORE blocking on current
-            kind, payload = staged
-            if kind == "fut":
-                pred_edges, avg_scores, scored = payload.result()
-            scene, _ = cur
-            n_scenes += 1
-            if kind == "cached":
+            staged_next = _stage(next(it, None))  # enqueue BEFORE blocking
+            if staged[0] == "cached":
                 # per-scene results from a previous (interrupted) run;
                 # track ids are scene-local and re-offset at assembly.
                 # Counted separately: cached scenes cost ~0 time and would
                 # inflate the printed throughput of a resumed run.
+                _, scene, payload = staged
+                n_scenes += 1
                 n_resumed += 1
                 n_resumed_edges += int(payload["scored"])
                 all_results.append(payload["results"])
                 scene_track_counts.append(int(payload["num_tracks"]))
+                all_tokens.extend(all_scene_sample_tokens(scene))
             else:
-                n_edges += scored
-                with open(
-                    os.path.join(
-                        edge_scores_dir, f"{scene.scene_token}_edge_scores.json"
-                    ),
-                    "w",
-                ) as f:
-                    json.dump({str(k): v for k, v in avg_scores.items()}, f)
-                cats = {
-                    i: m["category_name"] for i, m in enumerate(scene.metadata)
-                }
-                tracks = hierarchical_clusters(
-                    pred_edges, cats, cfg.predict.join_score_thresholds
-                )
-                results = scene_results(
-                    tracks,
-                    scene,
-                    cfg.predict.interpolate_trailer_tracks,
-                )
-                # persist for --skip-existing resume (atomic via rename so
-                # a kill mid-write can't leave a readable half file)
-                tmp = f"{_results_path(scene)}.tmp.{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump(
-                        {
-                            "results": results,
-                            "num_tracks": len(tracks),
-                            "scored": scored,
-                        },
-                        f,
-                    )
-                os.replace(tmp, _results_path(scene))
-                all_results.append(results)
-                scene_track_counts.append(len(tracks))
-            all_tokens.extend(all_scene_sample_tokens(scene))
-            cur, staged = nxt, staged_next
+                _, items, fut = staged
+                for (scene, _), out in zip(items, fut.result()):
+                    n_scenes += 1
+                    _assemble(scene, *out)
+                    all_tokens.extend(all_scene_sample_tokens(scene))
+            staged = staged_next
 
     # scene-local track ids -> globally unique (applied AFTER the loop so
     # resumed scenes from a previous process keep consistent numbering)
@@ -899,9 +930,11 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
 
     Global-frame yaw/velocity are rebuilt from the metadata's rotation
     quaternion and 2D velocity (trailer-track interpolation reads them,
-    ``infer/tracks.py``); ego-frame fields stay zero — nothing downstream of
-    prediction consumes them, and storing them would duplicate the pose
-    features already in the graphs. With ``with_modalities`` the raw
+    ``infer/tracks.py``); ego-frame fields come from the sidecar's ``ego``
+    entries (written at build time) so no physical quantity on a
+    store-reconstructed scene is ever silently zero — stores written before
+    the ego sidecar existed are rejected with a rebuild hint rather than
+    zero-filled. With ``with_modalities`` the raw
     per-detection modality arrays are re-assembled from the windows' node
     features via ``det_index`` (each detection takes its feature from any
     window containing it — windows store identical copies)."""
@@ -930,8 +963,15 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
         if v:
             vel_g[i, : len(v[:2])] = v[:2]
     num_frames = int(frame_idx.max()) + 1 if m else 0
-    zeros3 = np.zeros((m, 3))
-    zeros = np.zeros((m,))
+    if any("ego" not in md for md in metadata):
+        raise SystemExit(
+            f"{meta_path} predates the ego-pose sidecar fields; re-run "
+            "build-graphs for this scene (stores are rebuilt per scene, "
+            "--skip-existing leaves the others untouched)"
+        )
+    center_e = np.array([md["ego"]["center"] for md in metadata], float)
+    yaw_e = np.array([md["ego"]["yaw"] for md in metadata], float)
+    vel_e = np.array([md["ego"]["vel"] for md in metadata], float)
     token_map = {}
     token_id = np.full(m, -1, np.int32)
     for i, md in enumerate(metadata):
@@ -966,9 +1006,9 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
         center_g=center_g,
         yaw_g=np.asarray(yaw_g, float).reshape(m),
         vel_g=vel_g,
-        center_e=zeros3,
-        yaw_e=zeros,
-        vel_e=zeros3,
+        center_e=center_e.reshape(m, 3),
+        yaw_e=yaw_e.reshape(m),
+        vel_e=vel_e.reshape(m, 3),
         wlh=np.array([md["size"] for md in metadata], float).reshape(m, 3),
         class_id=class_id,
         score=np.array([md["score"] for md in metadata], float),

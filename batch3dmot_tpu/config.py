@@ -237,6 +237,11 @@ class PredictConfig:
     batch_size_graph: int = 2
     # How many windows are scored per device batch at inference.
     windows_per_batch: int = 8
+    # (--pipeline device) scenes grouped into ONE fused program dispatch —
+    # amortizes the per-dispatch relay round trip (host->device transfer +
+    # executable dispatch + result fetch) across the group. 1 = one
+    # program per scene (round-2 behavior).
+    scenes_per_batch: int = 4
     edge_score_thresholds: Dict[str, float] = field(
         default_factory=lambda: dict(DEFAULT_EDGE_SCORE_THRESHOLDS)
     )

@@ -40,11 +40,24 @@ class DeviceScenePipeline:
     """scene arrays -> per-edge scores, one XLA program per shape bucket."""
 
     def __init__(self, model, variables, window_len: int, k: int, fused="auto",
-                 aot_dir: Optional[str] = None):
+                 aot_dir: Optional[str] = None, mesh=None):
         self.model = model
         self.variables = variables
         self.window_len = window_len
         self.k = k
+        # Multi-chip: the per-scene program is shard_map'ed over a 1-D mesh —
+        # the window grid and the encoder inputs shard along 'data', the
+        # scene pose arrays replicate, and the frozen-encoder outputs
+        # all-gather so every chip can gather any window's node encodings
+        # (the reference's 8-way inference fan-out, predict.py:636-650,
+        # re-expressed as SPMD over ICI instead of a process pool).
+        self.mesh = mesh
+        if mesh is not None and aot_dir:
+            print(
+                "device pipeline: --aot-cache is single-chip only "
+                "(shard_map programs are not exported); ignoring it"
+            )
+            aot_dir = None
         # serialize lowered programs to disk (infer/aot.py) so later
         # processes skip the minutes-long cold remote compile; weights are
         # program inputs, so artifacts are keyed by the params SHAPE tree
@@ -83,7 +96,8 @@ class DeviceScenePipeline:
         self._interpret = jax.default_backend() == "cpu"
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
-    def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int):
+    def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int,
+                  mesh_gather: bool = False):
         model = self.model
         window_len, k = self.window_len, min(self.k, max_nodes)
 
@@ -107,6 +121,16 @@ class DeviceScenePipeline:
             )
             lp = lidar.sum(axis=(1, 2)) != 0
             rp = radar.sum(axis=(1, 2)) != 0
+            if mesh_gather:
+                # each chip encoded its m-shard; gather the full tables so
+                # window det_index gathers (arbitrary detections) resolve
+                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+                gather = lambda a: jax.lax.all_gather(
+                    a, DATA_AXIS, axis=0, tiled=True
+                )
+                x_img, pn, rn = gather(x_img), gather(pn), gather(rn)
+                lp, rp = gather(lp), gather(rp)
 
             n = max_nodes
             dummy = jnp.zeros((n, 0, 0, 0), jnp.float32)
@@ -179,30 +203,31 @@ class DeviceScenePipeline:
 
         return run
 
-    def score_scene(
-        self, scene: SceneDetections
-    ) -> Dict[Tuple[int, int], float]:
-        """Cross-window-averaged edge scores keyed by scene detection
-        indices (equivalent to infer.predict.average_scene_edges over the
-        host pipeline's windows)."""
+    def _quanta(self, scene: SceneDetections):
+        """(m_pad, real_windows, max_nodes) shape quanta for one scene, or
+        None when the scene produces no windows. Coarse quanta so scenes
+        share compiled programs."""
         m = scene.num_detections
         real_windows = scene.num_frames - self.window_len + 1
         if m == 0 or real_windows <= 0:
-            return {}
+            return None
         assert np.all(np.diff(scene.frame_idx) >= 0)
-
         counts = np.bincount(scene.frame_idx, minlength=scene.num_frames)
         max_nodes = max(
             int(counts[s : s + self.window_len].sum()) for s in range(real_windows)
         )
-        # coarse shape quanta so scenes share compiled programs (window
-        # starts beyond the scene produce empty, fully-masked windows)
         max_nodes = max(64, -(-max_nodes // 64) * 64)
         m_pad = max(256, -(-m // 256) * 256)
         # detection indices ride home as f32 (exact below 2^24)
         assert m_pad < (1 << 24), m_pad
-        num_windows = -(-real_windows // 8) * 8
+        return m_pad, real_windows, max_nodes
 
+    def _prepare(self, scene, m_pad: int, num_windows: int):
+        """Padded numpy argument tuple for one scene at the given quanta
+        (window starts beyond the scene are parked far past it so they
+        select zero detections — fully masked windows, not partial ones)."""
+        m = scene.num_detections
+        real_windows = scene.num_frames - self.window_len + 1
         pad1 = lambda a, v=0: np.pad(a, (0, m_pad - m), constant_values=v)
         pad2 = lambda a: np.pad(a, ((0, m_pad - m), (0, 0)))
 
@@ -210,32 +235,83 @@ class DeviceScenePipeline:
             buf = np.zeros((m_pad, *tail), np.float32)
             if a is not None:
                 buf[:m] = a
-            return jnp.asarray(buf)
+            return buf
 
-        # padding window starts are parked far past the scene so they select
-        # zero detections (fully masked) instead of partial trailing windows
         window_starts = np.full(num_windows, 1 << 20, np.int32)
         window_starts[:real_windows] = np.arange(real_windows, dtype=np.int32)
-
-        args = (
-            jnp.asarray(pad1(scene.frame_idx.astype(np.int32))),
-            jnp.asarray(pad2(scene.center_g.astype(np.float32))),
-            jnp.asarray(pad1(scene.yaw_g.astype(np.float32))),
-            jnp.asarray(pad2(scene.vel_g.astype(np.float32))),
-            jnp.asarray(pad2(scene.center_e.astype(np.float32))),
-            jnp.asarray(pad1(scene.yaw_e.astype(np.float32))),
-            jnp.asarray(pad2(scene.vel_e.astype(np.float32))),
-            jnp.asarray(pad2(scene.wlh.astype(np.float32))),
-            jnp.asarray(pad1(scene.class_id.astype(np.int32))),
-            jnp.asarray(pad1(scene.score.astype(np.float32))),
-            jnp.asarray(pad1(scene.token_id.astype(np.int32), -1)),
-            jnp.asarray(pad1(np.ones(m, bool), False)),
+        return (
+            pad1(scene.frame_idx.astype(np.int32)),
+            pad2(scene.center_g.astype(np.float32)),
+            pad1(scene.yaw_g.astype(np.float32)),
+            pad2(scene.vel_g.astype(np.float32)),
+            pad2(scene.center_e.astype(np.float32)),
+            pad1(scene.yaw_e.astype(np.float32)),
+            pad2(scene.vel_e.astype(np.float32)),
+            pad2(scene.wlh.astype(np.float32)),
+            pad1(scene.class_id.astype(np.int32)),
+            pad1(scene.score.astype(np.float32)),
+            pad1(scene.token_id.astype(np.int32), -1),
+            pad1(np.ones(m, bool), False),
             padm(scene.img, IMG_SHAPE),
             padm(scene.lidar, LIDAR_SHAPE),
             padm(scene.radar, RADAR_SHAPE),
-            jnp.asarray(window_starts),
+            window_starts,
+        )
+
+    @staticmethod
+    def _average(packed: np.ndarray) -> Dict[Tuple[int, int], float]:
+        from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
+
+        gsrc, gdst, scores = packed
+        flat_scores = scores.reshape(-1)
+        sel = flat_scores >= 0.0  # masked edges carry -1
+        return average_edge_scores_arrays(
+            gsrc.reshape(-1)[sel].astype(np.int64),
+            gdst.reshape(-1)[sel].astype(np.int64),
+            flat_scores[sel],
+        )
+
+    def score_scene(
+        self, scene: SceneDetections
+    ) -> Dict[Tuple[int, int], float]:
+        """Cross-window-averaged edge scores keyed by scene detection
+        indices (equivalent to infer.predict.average_scene_edges over the
+        host pipeline's windows)."""
+        q = self._quanta(scene)
+        if q is None:
+            return {}
+        m_pad, real_windows, max_nodes = q
+        # window-count quantum: 8, lifted to a multiple of the mesh so the
+        # window grid shards evenly (m_pad multiples of 256 already divide)
+        wq = 8 if self.mesh is None else int(np.lcm(8, self.mesh.size))
+        num_windows = -(-real_windows // wq) * wq
+
+        args = tuple(
+            jnp.asarray(a) for a in self._prepare(scene, m_pad, num_windows)
         )
         key = (m_pad, num_windows, max_nodes)
+        if key not in self._compiled and self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+            # the program body sees LOCAL shapes: W/D windows, m/D encoder
+            # rows; pose arrays replicate (every window needs every
+            # detection's pose)
+            local = self._build_fn(
+                m_pad, num_windows // self.mesh.size, max_nodes,
+                mesh_gather=True,
+            )
+            d = P(DATA_AXIS)
+            rep = P()
+            self._compiled[key] = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=(rep,) + (rep,) * 12 + (d, d, d, d),
+                    out_specs=P(None, DATA_AXIS, None),
+                )
+            )
         if key not in self._compiled:
             fn = self._build_fn(m_pad, num_windows, max_nodes)
             if self.aot_dir:
@@ -257,16 +333,93 @@ class DeviceScenePipeline:
             else:
                 self._compiled[key] = jax.jit(fn)
         packed = np.asarray(self._compiled[key](self.variables, *args))
-        gsrc, gdst, scores = packed
-        from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
+        return self._average(packed)
 
-        flat_scores = scores.reshape(-1)
-        sel = flat_scores >= 0.0  # masked edges carry -1
-        return average_edge_scores_arrays(
-            gsrc.reshape(-1)[sel].astype(np.int64),
-            gdst.reshape(-1)[sel].astype(np.int64),
-            flat_scores[sel],
+    def score_scenes(
+        self, scenes: List[SceneDetections]
+    ) -> List[Dict[Tuple[int, int], float]]:
+        """Cross-scene grouped dispatch: score a GROUP of scenes in ONE
+        program call (scene axis vmapped; on a mesh, whole scenes shard
+        across chips — the reference's 8-way inference fan-out,
+        ``predict.py:636-650``, as SPMD instead of a process pool).
+
+        Equivalent to ``[score_scene(s) for s in scenes]`` but pays the
+        relay round trip (host->device transfer, dispatch, result fetch)
+        once per group instead of once per scene — that round trip is the
+        steady-state floor of per-scene dispatch (docs/RESULTS.md)."""
+        if len(scenes) == 1:
+            return [self.score_scene(scenes[0])]
+        quanta = [self._quanta(s) for s in scenes]
+        live = [i for i, q in enumerate(quanta) if q is not None]
+        results: List[Dict[Tuple[int, int], float]] = [{} for _ in scenes]
+        if not live:
+            return results
+        # group quanta: max over members (coarse quantization keeps the
+        # waste bounded; a whole split shares a handful of group programs)
+        m_pad = max(quanta[i][0] for i in live)
+        max_nodes = max(quanta[i][2] for i in live)
+        num_windows = max(
+            -(-quanta[i][1] // 8) * 8 for i in live
         )
+        prepared = [
+            self._prepare(scenes[i], m_pad, num_windows) for i in live
+        ]
+        n_live = len(prepared)
+        S = n_live
+        if self.mesh is not None:
+            S = -(-n_live // self.mesh.size) * self.mesh.size
+        if S > n_live:
+            # dummy scenes: fully-masked (det_mask False, parked windows)
+            dummy = [np.zeros_like(a) for a in prepared[0]]
+            dummy[-1] = np.full(num_windows, 1 << 20, np.int32)
+            prepared += [tuple(dummy)] * (S - n_live)
+        stacked = tuple(
+            jnp.asarray(np.stack([p[j] for p in prepared]))
+            for j in range(len(prepared[0]))
+        )
+
+        key = ("grp", S, m_pad, num_windows, max_nodes)
+        if key not in self._compiled:
+            single = self._build_fn(m_pad, num_windows, max_nodes)
+            in_axes = (None,) + (0,) * 16
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+                body = lambda v, *s: jax.vmap(
+                    single, in_axes=in_axes
+                )(v, *s)
+                d0, rep = P(DATA_AXIS), P()
+                self._compiled[key] = jax.jit(
+                    jax.shard_map(
+                        body,
+                        mesh=self.mesh,
+                        in_specs=(rep,) + (d0,) * 16,
+                        out_specs=d0,
+                    )
+                )
+            else:
+                fn = jax.vmap(single, in_axes=in_axes)
+                if self.aot_dir:
+                    from batch3dmot_tpu.infer.aot import cached_jit
+
+                    self._compiled[key] = cached_jit(
+                        fn,
+                        "device_pipeline_grp",
+                        f"{S}_{m_pad}_{num_windows}_{max_nodes}_"
+                        f"{self.window_len}_{self.k}_{self.fused}_"
+                        f"{type(self.model).__name__}_{self._arch_digest}_"
+                        f"{self._var_digest}",
+                        self.aot_dir,
+                        (self.variables, *stacked),
+                    )
+                else:
+                    self._compiled[key] = jax.jit(fn)
+        packed = np.asarray(self._compiled[key](self.variables, *stacked))
+        for row, i in enumerate(live):
+            results[i] = self._average(packed[row])
+        return results
 
 
 def predict_scene_device(

@@ -49,12 +49,9 @@ def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
     variables = jax.jit(model.init)(jax.random.key(0), example)
     pipe = DeviceScenePipeline(model, variables, window_len=window_len, k=k)
 
-    for label in ("pass1 (compiles)", "pass2 (steady)"):
+    def sweep(label, score_pass):
         t0 = time.time()
-        total_edges = 0
-        for scene in scenes:
-            scores = pipe.score_scene(scene)
-            total_edges += len(scores)
+        total_edges = score_pass()
         dt = time.time() - t0
         print(
             f"{label} [frames={num_frames} tracks={num_tracks} "
@@ -62,6 +59,25 @@ def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
             f"{n_scenes/dt:.2f} scenes/s ({total_edges} averaged edges)",
             flush=True,
         )
+
+    def per_scene():
+        return sum(len(pipe.score_scene(s)) for s in scenes)
+
+    for label in ("pass1 (compiles)", "pass2 (steady)"):
+        sweep(label, per_scene)
+
+    # cross-scene grouped dispatch: one program call per G scenes
+    for g in (2, 4):
+        def grouped():
+            total = 0
+            for i in range(0, n_scenes, g):
+                total += sum(
+                    len(r) for r in pipe.score_scenes(scenes[i : i + g])
+                )
+            return total
+
+        sweep(f"group{g} pass1 (compiles)", grouped)
+        sweep(f"group{g} steady", grouped)
 
 
 if __name__ == "__main__":

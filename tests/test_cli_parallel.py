@@ -102,6 +102,40 @@ def test_predict_devices_non_power_of_two(built):
     assert os.path.exists(os.path.join(tmp, "e3", "submission.json"))
 
 
+def test_predict_device_pipeline_devices_matches_single(built):
+    """`predict --pipeline device --devices 2` (the fused per-scene program
+    shard_map'ed over the mesh) must reproduce single-device edge scores at
+    the CLI surface (round-2 VERDICT missing #3)."""
+    tmp = built
+
+    def run(eval_dir, devices=None):
+        argv = [
+            "predict", "--model", "mm", "--pipeline", "device",
+            "--synthetic", "2",
+            "--set", f"paths.tmp={tmp}",
+            "--set", f"paths.eval={eval_dir}",
+            "--set", "gnn.gnn_depth=2",
+            "--set", "graph_construction.top_knn_nodes=4",
+            "--set", "predict.batch_size_graph=3",
+        ]
+        if devices:
+            argv += ["--devices", str(devices)]
+        main(argv)
+        scores = {}
+        for p in glob.glob(os.path.join(eval_dir, "predict", "*_edge_scores.json")):
+            scores[os.path.basename(p)] = json.load(open(p))
+        return scores
+
+    s1 = run(os.path.join(tmp, "dev_e1"))
+    s2 = run(os.path.join(tmp, "dev_e2"), devices=2)
+    assert s1.keys() == s2.keys() and s1
+    for name in s1:
+        assert s1[name].keys() == s2[name].keys()
+        a = np.array([s1[name][k] for k in s1[name]])
+        b = np.array([s2[name][k] for k in s1[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_build_graphs_skip_existing_counts(built, capsys):
     tmp = built
     main([

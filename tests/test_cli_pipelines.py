@@ -165,3 +165,34 @@ def test_predict_skip_existing_resumes(mm_setup):
             assert x["tracking_name"] == y["tracking_name"]
             np.testing.assert_allclose(x["translation"], y["translation"])
             assert x["tracking_id"] == y["tracking_id"]
+
+def test_device_pipeline_grouped_matches_ungrouped(mm_setup):
+    """predict --pipeline device with predict.scenes_per_batch>1 (one
+    vmapped program per scene GROUP) must produce the same per-scene edge
+    scores and submission as scenes_per_batch=1, including with a group
+    size that doesn't divide the scene count."""
+    tmp, ckpt, common = mm_setup
+
+    def run(tag, scenes_per_batch):
+        eval_dir = os.path.join(tmp, f"eval_grp_{tag}")
+        main([
+            "predict", "--model", "mm", "--checkpoint", ckpt,
+            "--pipeline", "device", "--synthetic", "3",
+            *common,
+            "--set", f"paths.eval={eval_dir}",
+            "--set", f"predict.scenes_per_batch={scenes_per_batch}",
+        ])
+        sub = json.load(open(os.path.join(eval_dir, "submission.json")))
+        return _edge_scores(eval_dir), sub
+
+    s1, sub1 = run("one", 1)
+    s2, sub2 = run("two", 2)  # 3 scenes -> group of 2 + group of 1
+    assert s1.keys() == s2.keys() and len(s1) == 3
+    for name in s1:
+        assert s1[name].keys() == s2[name].keys()
+        a = np.array([s1[name][k] for k in s1[name]])
+        b = np.array([s2[name][k] for k in s1[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert sub1["results"].keys() == sub2["results"].keys()
+    for token in sub1["results"]:
+        assert len(sub1["results"][token]) == len(sub2["results"][token])

@@ -254,6 +254,38 @@ def test_device_pipeline_matches_host_path():
         assert abs(host_avg[key] - dev_avg[key]) < 1e-4, key
 
 
+def test_device_pipeline_mesh_matches_single():
+    """The shard_map'ed device pipeline (window grid + encoder inputs
+    sharded over the mesh, encodings all-gathered) must reproduce the
+    single-device scores (round-2 VERDICT missing #3)."""
+    import jax
+
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.parallel import make_mesh
+
+    scene = make_synthetic_scene(
+        seed=7, num_frames=6, num_tracks=4, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+
+    single = DeviceScenePipeline(model, variables, window_len=3, k=4)
+    base = single.score_scene(scene)
+    for n_dev in (2, 4):
+        sharded = DeviceScenePipeline(
+            model, variables, window_len=3, k=4, mesh=make_mesh(n_dev)
+        ).score_scene(scene)
+        assert set(base) == set(sharded)
+        for key in base:
+            assert abs(base[key] - sharded[key]) < 1e-5, (n_dev, key)
+
+
 def test_vectorized_averaging_matches_loop_and_is_fast():
     """average_edge_scores_arrays (np.unique + bincount) must match the
     naive per-edge dict loop exactly, and beat it by a wide margin on
@@ -355,3 +387,51 @@ def test_greedy_and_threshold_array_forms_match_dict_forms():
         for a, b, v in zip(ks[sel], kd[sel], kv[sel])
     }
     assert pred_dict == pred_arr
+
+def test_device_pipeline_grouped_matches_single():
+    """score_scenes (cross-scene grouped dispatch: one vmapped program per
+    scene group) must reproduce per-scene score_scene results exactly, with
+    heterogeneous scene sizes and windowless scenes in the group."""
+    import jax
+
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.parallel import make_mesh
+
+    scenes = [
+        make_synthetic_scene(seed=s, num_frames=f, num_tracks=t,
+                             with_modalities=True, modality_dropout=0.3)
+        for s, f, t in ((1, 6, 4), (2, 8, 3), (3, 5, 5))
+    ]
+    # a scene too short for any window -> {} placeholder in the results
+    scenes.append(
+        make_synthetic_scene(seed=4, num_frames=2, num_tracks=2,
+                             with_modalities=True)
+    )
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    windows = [w for w in build_scene_graphs(scenes[0], 3, gc) if w.num_edges]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+
+    pipe = DeviceScenePipeline(model, variables, window_len=3, k=4)
+    singles = [pipe.score_scene(s) for s in scenes]
+    assert singles[-1] == {}
+
+    grouped = pipe.score_scenes(scenes)
+    assert len(grouped) == len(scenes)
+    for single, grp in zip(singles, grouped):
+        assert set(single) == set(grp)
+        for key in single:
+            assert abs(single[key] - grp[key]) < 1e-5, key
+
+    # mesh: scene axis sharded across chips (group padded to mesh size)
+    mesh_pipe = DeviceScenePipeline(
+        model, variables, window_len=3, k=4, mesh=make_mesh(2)
+    )
+    mesh_grouped = mesh_pipe.score_scenes(scenes[:3])
+    for single, grp in zip(singles[:3], mesh_grouped):
+        assert set(single) == set(grp)
+        for key in single:
+            assert abs(single[key] - grp[key]) < 1e-5, key
