@@ -237,6 +237,15 @@ def scene_from_frames(
             "time": r["frame"],
             "num_lidar_pts": 0,
             "num_radar_pts": 0,
+            # ego-frame pose rides in the sidecar so store-reconstructed
+            # scenes carry REAL ego fields (not zeros) — any future
+            # consumer of SceneDetections.center_e/yaw_e/vel_e on the
+            # store-backed predict path stays correct
+            "ego": {
+                "center": np.asarray(r["center_e"]).tolist(),
+                "yaw": float(r["yaw_e"]),
+                "vel": np.asarray(r["vel_e"]).tolist(),
+            },
         }
         for r in rows
     ]

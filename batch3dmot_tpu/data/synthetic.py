@@ -144,6 +144,11 @@ def make_synthetic_scene(
                 "time": int(frame_idx[i]),
                 "num_lidar_pts": 0,
                 "num_radar_pts": 0,
+                "ego": {
+                    "center": center_e[i].tolist(),
+                    "yaw": float(yaw_e[i]),
+                    "vel": vel_e[i].tolist(),
+                },
             }
         )
 

@@ -138,3 +138,30 @@ def test_store_batcher_training_step(tmp_path, scene_windows):
     metrics = trainer.train_epoch(batcher)
     assert np.isfinite(metrics["train/loss"])
     batcher.close()
+
+def test_scene_from_store_ego_fields_roundtrip(tmp_path, scene_windows):
+    """Store-reconstructed scenes must carry the REAL ego-frame pose from
+    the metadata sidecar (round-2 VERDICT weak #6: zero-filled center_e was
+    a silent-corruption trap), and stores predating the ego sidecar must be
+    rejected, not zero-filled."""
+    import json
+
+    from batch3dmot_tpu.cli import _scene_from_store
+
+    scene, windows = scene_windows
+    path = save_scene_graphs(windows, str(tmp_path), metadata=scene.metadata)
+    rebuilt = _scene_from_store(path, windows)
+    np.testing.assert_allclose(rebuilt.center_e, scene.center_e, atol=1e-9)
+    np.testing.assert_allclose(rebuilt.yaw_e, scene.yaw_e, atol=1e-9)
+    np.testing.assert_allclose(rebuilt.vel_e, scene.vel_e, atol=1e-9)
+    assert float(np.abs(rebuilt.center_e).sum()) > 0  # really non-zero
+
+    # strip the ego entries -> the loader must refuse the stale sidecar
+    meta_path = path.replace(".b3d", "_metadata.json")
+    meta = json.load(open(meta_path))
+    for md in meta:
+        md.pop("ego")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(SystemExit, match="ego-pose sidecar"):
+        _scene_from_store(path, windows)
