@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--tracks", type=int, default=12)
     ap.add_argument("--fused-steps", type=int, default=8)
     ap.add_argument("--device-pipeline", action="store_true")
+    # reference production shape: cl_config.yaml:98,104 trains at kNN 40
+    # with L=5 windows (VERDICT round-2 next #8)
+    ap.add_argument("--window-len", type=int, default=3)
+    ap.add_argument("--knn", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -57,15 +61,15 @@ def main():
         precompute_scene_encodings,
     )
 
-    gc = GraphConstructionConfig(top_knn_nodes=8, batch_size_graph=3)
-    buckets = ((128, 1024),)
+    gc = GraphConstructionConfig(
+        top_knn_nodes=args.knn, batch_size_graph=args.window_len
+    )
+    L = args.window_len
 
     print(f"building {args.scenes}+{args.val_scenes} scenes ...", flush=True)
     t0 = time.time()
     model = MultimodalGNN(depth=args.depth)
-    trainer = None
-    train_items = []
-    val_scenes = []
+    scene_windows = []
     for seed in range(args.scenes + args.val_scenes):
         scene = make_synthetic_scene(
             seed=seed,
@@ -75,8 +79,24 @@ def main():
             modality_dropout=0.25,
         )
         windows = [
-            w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0
+            w for w in build_scene_graphs(scene, L, gc) if w.num_edges > 0
         ]
+        scene_windows.append((scene, windows))
+    # ONE bucket for the whole run, sized to the densest window (pick per
+    # window and XLA compiles a program per variant — relay-expensive)
+    from batch3dmot_tpu.graph import pick_bucket as _pick
+
+    bucket = _pick(
+        max(w.num_nodes for _, ws in scene_windows for w in ws),
+        max(w.num_edges for _, ws in scene_windows for w in ws),
+    )
+    buckets = (bucket,)
+    print(f"  bucket {bucket} (L={L}, knn={args.knn})", flush=True)
+
+    trainer = None
+    train_items = []
+    val_scenes = []
+    for seed, (scene, windows) in enumerate(scene_windows):
         if trainer is None:
             example = to_padded(windows[0], *buckets[0])
             trainer = GNNTrainer(
@@ -128,7 +148,7 @@ def main():
     for scene, windows in val_scenes:
         if args.device_pipeline:
             pred_edges, _ = predict_scene_device(
-                model, trainer.variables, scene, window_len=3
+                model, trainer.variables, scene, window_len=L
             )
         else:
             pred_edges, _ = predict_scene(
