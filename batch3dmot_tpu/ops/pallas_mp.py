@@ -266,15 +266,21 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
                      att_ref, src_ref, dst_ref, *rest):
     """Edge-tiled variant: per layer, edges are processed in ``n_tiles``
     chunks so only one chunk's MLP intermediates are live in VMEM at a
-    time. The one-hot gather/scatter tiles are GENERATED per chunk from
-    the [E, 1] src/dst index columns (masked edges carry index -1, so a
-    broadcasted-iota compare yields all-zero rows); the evolving edge
-    attrs live in a VMEM scratch ref sliced with dynamic starts (Mosaic
-    lowers dynamic-start REF loads/stores but not value-level
-    dynamic_slice); the loop-invariant initial-x projections are
-    recomputed per tile (cheaper than holding [E, msg_dim] buffers live).
-    In-place per-tile update of the edge scratch is safe: a tile's new
-    rows are read only by the next layer."""
+    time. TRANSPOSED [N, tsz] one-hot gather/scatter tiles are GENERATED
+    per chunk from the [1, E] src/dst index ROWS (masked edges carry index
+    -1, so a broadcasted-iota compare yields all-zero columns). Rows, not
+    columns: an [E, 1] s32 column tiles to (8, 128) lanes — E x 128
+    physical elements, double-buffered as a blocked input (8 MB for the
+    src/dst pair at E=4096 — the term that made near-limit buckets
+    grid-length-fragile); the [1, E] row costs E x 8. The transposed
+    orientation makes scatters plain ``oh @ msgs`` matmuls and gathers
+    contract-dim-0 matmuls — both MXU shapes, no in-kernel transpose.
+    The evolving edge attrs live in a VMEM scratch ref sliced with
+    dynamic starts (Mosaic lowers dynamic-start REF loads/stores but not
+    value-level dynamic_slice); the loop-invariant initial-x projections
+    are recomputed per tile (cheaper than holding [E, msg_dim] buffers
+    live). In-place per-tile update of the edge scratch is safe: a tile's
+    new rows are read only by the next layer."""
     w_refs, out_ref, e_scr = rest[:-2], rest[-2], rest[-1]
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
@@ -282,7 +288,7 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
     )
     x0 = x0_ref[0]
     n = x0.shape[0]
-    e_total = src_ref.shape[1]
+    e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     e_scr[...] = e0_ref[0]
 
@@ -295,14 +301,14 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
         def tile(t, acc):
             agg_p, agg_f = acc
             lo = t * tsz
-            iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, n), 1)
-            oh_s = (iota == src_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
-            oh_d = (iota == dst_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, tsz), 0)
+            oh_s = (iota == src_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
+            oh_d = (iota == dst_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
             e_t = e_scr[pl.ds(lo, tsz)]
-            x_j = dot(oh_s, x)
-            x_i = dot(oh_d, x)
-            init_j = dot(oh_s, x0)
-            init_i = dot(oh_d, x0)
+            x_j = tdot(oh_s, x)
+            x_i = tdot(oh_d, x)
+            init_j = tdot(oh_s, x0)
+            init_i = tdot(oh_d, x0)
 
             h = dot(x_i, eu0[0]) + dot(x_j, eu0[1]) + dot(e_t, eu0[2])
             if with_attention:
@@ -333,7 +339,8 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
                     p = jnp.maximum(p, 0.0)
 
             e_scr[pl.ds(lo, tsz)] = ue
-            return agg_p + tdot(oh_d, p), agg_f + tdot(oh_s, f)
+            # transposed tiles: scatters are plain oh @ msgs matmuls
+            return agg_p + dot(oh_d, p), agg_f + dot(oh_s, f)
 
         msg_dim = comb0[0].shape[0]
         agg_p, agg_f = jax.lax.fori_loop(
@@ -396,15 +403,21 @@ def fused_mp_scores(
             _mp_kernel_tiled, meta, depth, with_attention, n_tiles
         )
         scratch_shapes = [pltpu.VMEM((e, e0.shape[2]), jnp.float32)]
-    # index columns, masked edges forced to -1 so the in-kernel iota
-    # compare produces all-zero one-hot rows (exact padding zero
-    # contribution, same as a host-built masked one-hot)
+    # masked edges forced to -1 so the in-kernel iota compare produces
+    # all-zero one-hot rows/columns (exact padding zero contribution, same
+    # as a host-built masked one-hot). The single-shot kernel takes [E, 1]
+    # index COLUMNS; the tiled kernel takes [1, E] ROWS (an [E, 1] s32
+    # column tiles to E x 128 physical lanes — 2 MB double-buffered per
+    # input at E=4096, the blow-up that capped tiled coverage).
     neg = jnp.int32(-1)
-    gather_ins = (
-        jnp.where(edge_mask, src, neg)[..., None].astype(jnp.int32),
-        jnp.where(edge_mask, dst, neg)[..., None].astype(jnp.int32),
-    )
-    gather_specs = [win_spec(e, 1), win_spec(e, 1)]
+    src_m = jnp.where(edge_mask, src, neg).astype(jnp.int32)
+    dst_m = jnp.where(edge_mask, dst, neg).astype(jnp.int32)
+    if n_tiles == 1:
+        gather_ins = (src_m[..., None], dst_m[..., None])
+        gather_specs = [win_spec(e, 1), win_spec(e, 1)]
+    else:
+        gather_ins = (src_m[:, None, :], dst_m[:, None, :])
+        gather_specs = [win_spec(1, e), win_spec(1, e)]
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_weights

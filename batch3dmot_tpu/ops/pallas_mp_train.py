@@ -55,19 +55,29 @@ _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT = 512 * 64
 
 # Beyond the monolithic ceiling, the EDGE-TILED training kernel pair covers
-# the trainval buckets (round-2 VERDICT #2): one-hot tiles are generated
-# in-kernel per edge chunk from [E, 1] index columns, the evolving edge
-# attrs live in a VMEM scratch, and the full-E residuals the backward needs
-# (per-layer edge attrs e_t and the agg_past/agg_future node sums) are
-# DMA'd to HBM stash arrays instead of occupying VMEM out-blocks. The
-# backward re-loads them per layer and RECOMPUTES the intra-tile
-# intermediates (standard rematerialization). Caps validated on hardware
-# (scripts/bench_train_step.py); per-tile budget below mirrors the
-# inference kernel's VMEM model.
+# the trainval buckets (round-2 VERDICT #2). The design is FULLY
+# TILE-GRANULAR: TRANSPOSED one-hot tiles are generated in-kernel per edge
+# chunk from [1, E] index rows, and EVERY full-E buffer rides in HBM
+# (`pl.ANY`) — e0, att, the per-layer e_t / agg residual stashes, and the
+# e0/att cotangents — DMA'd tile-by-tile through single (tsz, ed) VMEM
+# scratches. The backward's carried e-cotangent and datt accumulator use
+# the de0/datt HBM *outputs* as their working buffers. Why nothing full-E
+# may touch VMEM (all hardware-measured at the (256, 4096) bucket):
+# blocked full-E refs pay 2x their size through Mosaic's grid
+# double-buffering (22.56 MB scoped vs the 16 MB/core limit), and even
+# full-E VMEM *scratches* (e/due/datt, ~6 MB) left the backward a
+# tile-count-independent 2.87 MB over. Sliced HBM DMAs force the
+# edge-attr and message widths to 128-lane multiples (_pad_tiled_lanes;
+# 'slice must be aligned to tiling (128)'). The backward re-loads the
+# stashes per layer and RECOMPUTES the intra-tile intermediates (standard
+# rematerialization). Tile-size sweep on hardware at (256, 4096) x8
+# windows, encoded-path train step: 32 tiles 17.8 ms (DMA-latency-bound),
+# 16 tiles 13.2 ms, 8 tiles 11.8 ms vs 18.1 ms XLA autodiff (1.5x) —
+# hence the 128k edges*nodes per-tile target.
 _TRAIN_TILED_MAX_EDGES = 4096
 _TRAIN_TILED_MAX_NODES = 512
 _TRAIN_TILED_MAX_PRODUCT = 4096 * 256
-_TRAIN_TILE_PRODUCT = 64 * 1024  # target edges-per-tile x nodes
+_TRAIN_TILE_PRODUCT = 128 * 1024  # target edges-per-tile x nodes
 
 
 def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
@@ -84,7 +94,11 @@ def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     ):
         return None
     # at least 2: a 1-tile fall-through would dispatch to the monolithic
-    # kernel, whose VMEM ceiling this bucket already exceeds
+    # kernel, whose VMEM ceiling this bucket already exceeds. With the
+    # fully tile-granular staging (no full-E VMEM anywhere) the only
+    # VMEM scaling left is the per-tile working set, so the target tile
+    # is as large as the tile intermediates allow — fewer tiles = fewer
+    # serialized DMA round trips per layer.
     tiles = max(2, -(-product // _TRAIN_TILE_PRODUCT))
     while max_edges % tiles:
         tiles += 1
@@ -392,24 +406,33 @@ def _train_bwd_kernel(meta, depth, with_attention, logits,
 
 
 def _tile_onehots(src_ref, dst_ref, lo, tsz, n):
-    """Per-chunk one-hot gather/scatter tiles generated from the [E, 1]
-    masked index columns (masked edges carry -1 -> all-zero rows, exactly
-    zero contribution to every aggregation)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, n), 1)
-    oh_s = (iota == src_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
-    oh_d = (iota == dst_ref[0, pl.ds(lo, tsz)]).astype(jnp.float32)
+    """Per-chunk TRANSPOSED one-hot tiles [N, tsz] generated from the
+    [1, E] masked index ROWS (masked edges carry -1 -> all-zero columns,
+    exactly zero contribution to every aggregation).
+
+    Rows, not columns: an [E, 1] s32 column tiles to (8, 128) lanes —
+    E x 128 physical elements (2 MB at E=4096), double-buffered as a
+    blocked input. The [1, E] row costs E x 8 (131 KB). The transposed
+    orientation also makes scatters plain matmuls (ohT @ d) and gathers
+    contract-dim-0 matmuls (ohT^T @ x == _scatter_t(ohT, x)) — both MXU
+    shapes; no in-kernel transpose is ever materialized."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, tsz), 0)
+    oh_s = (iota == src_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
+    oh_d = (iota == dst_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
     return oh_s, oh_d
 
 
 def _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention):
     """Edge-side forward chain of one MP layer for one edge tile (through
-    f1/p1; f/p themselves are only needed by the forward's aggregation)."""
+    f1/p1; f/p themselves are only needed by the forward's aggregation).
+    ``oh_s``/``oh_d`` are the TRANSPOSED [N, tsz] tiles — gathers are
+    contract-dim-0 matmuls (``_scatter_t``)."""
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      _, _, _, _, _) = W
-    x_j = _dot(oh_s, x)
-    x_i = _dot(oh_d, x)
-    ii = _dot(oh_d, x0)
-    ij = _dot(oh_s, x0)
+    x_j = _scatter_t(oh_s, x)
+    x_i = _scatter_t(oh_d, x)
+    ii = _scatter_t(oh_d, x0)
+    ij = _scatter_t(oh_s, x0)
     h1p = _dot(x_i, eu0[0]) + _dot(x_j, eu0[1]) + _dot(e_t, eu0[2])
     if with_attention:
         h1p = h1p + _dot(att_t, eu0[3])
@@ -427,44 +450,81 @@ def _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention):
 
 
 def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
-                            x0_ref, e0_ref, att_ref, src_ref, dst_ref,
+                            x0_ref, e0_hbm, att_hbm, src_ref, dst_ref,
                             *rest):
-    """Tiled forward: per layer, edges are processed in ``n_tiles`` chunks;
-    the evolving edge attrs live in a VMEM scratch; per-layer residuals
-    (e_t full-E, agg_past/agg_future) are DMA'd to HBM stash arrays."""
-    w_refs = rest[:-7]
-    scores_ref, xs_ref, es_hbm, agg_hbm, e_scr, agg_scr, sem = rest[-7:]
+    """Tiled forward: per layer, edges are processed in ``n_tiles`` chunks.
+
+    The evolving edge state is FULLY HBM-RESIDENT: the ``es_hbm`` stash is
+    the single source of truth (layer ``t`` reads its e_t tile from
+    ``es_hbm[b, t]`` and writes its ue tile to ``es_hbm[b, t+1]``), so the
+    only edge-sized VMEM residents are single (tsz, ed) tile scratches.
+    Full-E VMEM buffers — whether blocked refs (2x via Mosaic's grid
+    double-buffering) or scratches — blew the 16 MB scoped budget at the
+    (256, 4096) bucket in every intermediate design (hardware-measured
+    22.56 / 20.56 / 18.87 MB); tile-granular staging is what fits."""
+    w_refs = rest[:-8]
+    scores_ref, xs_ref, es_hbm, agg_hbm, e_tile, agg_scr, att_scr, sem = rest[-8:]
     W = _unpack(meta, tuple(r[:] for r in w_refs))
     (_, _, _, _, fut_rest, fut_b, _, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = W
     b = pl.program_id(0)
     x0 = x0_ref[0]
     n = x0.shape[0]
-    e_total = src_ref.shape[1]
+    e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     msg_dim = comb0[0].shape[0]
-    e_scr[...] = e0_ref[0]
+
+    # seed the layer-0 edge state: e0 -> es_hbm[b, 0], tile-staged
+    def seed_tile(tt, _):
+        lo = tt * tsz
+        dma_i = pltpu.make_async_copy(
+            e0_hbm.at[b, pl.ds(lo, tsz)], e_tile, sem.at[0]
+        )
+        dma_i.start()
+        dma_i.wait()
+        dma_o = pltpu.make_async_copy(
+            e_tile, es_hbm.at[b, 0, pl.ds(lo, tsz)], sem.at[0]
+        )
+        dma_o.start()
+        dma_o.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, seed_tile, 0)
 
     def layer(t, x):
         xs_ref[0, t] = x
-        # stash e_t BEFORE the tiles overwrite the scratch in place
-        dma_e = pltpu.make_async_copy(e_scr, es_hbm.at[b, t], sem.at[0])
-        dma_e.start()
-        dma_e.wait()
 
         def tile(tt, acc):
             agg_p, agg_f = acc
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
-            att_t = att_ref[0, pl.ds(lo, tsz)] if with_attention else None
+            dma_e = pltpu.make_async_copy(
+                es_hbm.at[b, t, pl.ds(lo, tsz)], e_tile, sem.at[0]
+            )
+            dma_e.start()
+            att_t = None
+            if with_attention:
+                dma_t = pltpu.make_async_copy(
+                    att_hbm.at[b, pl.ds(lo, tsz)], att_scr, sem.at[2]
+                )
+                dma_t.start()
+                dma_t.wait()
+                att_t = att_scr[...]
+            dma_e.wait()
             o = _tile_chain(
-                x, x0, e_scr[pl.ds(lo, tsz)], att_t, oh_s, oh_d, W,
-                with_attention,
+                x, x0, e_tile[...], att_t, oh_s, oh_d, W, with_attention
             )
             f = _dot(o["f1"], fut_rest[0]) + fut_b[1]
             p = _dot(o["p1"], past_rest[0]) + past_b[1]
-            e_scr[pl.ds(lo, tsz)] = o["ue"]
-            return agg_p + _scatter_t(oh_d, p), agg_f + _scatter_t(oh_s, f)
+            # overwrite the tile scratch with ue and stash it as e_{t+1}
+            e_tile[...] = o["ue"]
+            dma_u = pltpu.make_async_copy(
+                e_tile, es_hbm.at[b, t + 1, pl.ds(lo, tsz)], sem.at[0]
+            )
+            dma_u.start()
+            dma_u.wait()
+            # transposed tiles: scatters are plain ohT @ d matmuls
+            return agg_p + _dot(oh_d, p), agg_f + _dot(oh_s, f)
 
         agg_p, agg_f = jax.lax.fori_loop(
             0, n_tiles, tile,
@@ -481,17 +541,28 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         return _dot(c2, comb_rest[1]) + comb_b[2]
 
     jax.lax.fori_loop(0, depth, layer, x0)
-    dma_e = pltpu.make_async_copy(e_scr, es_hbm.at[b, depth], sem.at[0])
-    dma_e.start()
-    dma_e.wait()
-    out = _classifier_forward(e_scr[...], cls_w, cls_b)[-1][:, 0]
-    if not logits:
-        out = jax.nn.sigmoid(out)
-    scores_ref[0] = jnp.broadcast_to(out[None, :], (8, out.shape[0]))
+
+    # classifier per edge tile over the stashed e_depth
+    def cls_tile(tt, _):
+        lo = tt * tsz
+        dma_e = pltpu.make_async_copy(
+            es_hbm.at[b, depth, pl.ds(lo, tsz)], e_tile, sem.at[0]
+        )
+        dma_e.start()
+        dma_e.wait()
+        out = _classifier_forward(e_tile[...], cls_w, cls_b)[-1][:, 0]
+        if not logits:
+            out = jax.nn.sigmoid(out)
+        scores_ref[0, :, pl.ds(lo, tsz)] = jnp.broadcast_to(
+            out[None, :], (8, tsz)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, cls_tile, 0)
 
 
 def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
-                            ds_ref, xs_ref, es_hbm, agg_hbm, att_ref,
+                            ds_ref, xs_ref, es_hbm, agg_hbm, att_hbm,
                             src_ref, dst_ref, *rest):
     """Tiled backward: reverse layer loop re-loading the HBM residuals per
     layer; combine backward runs at node level from the stashed aggs; one
@@ -499,12 +570,24 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     back-propagates. The initial-x cotangents (dII/dIJ) scatter into the
     dx0 accumulator per tile instead of living as full-E buffers; the
     carried cotangent of e_{t+1} lives in a VMEM scratch, overwritten in
-    place with the cotangent of e_t (read-before-write within each tile)."""
+    place with the cotangent of e_t (read-before-write within each tile).
+
+    Like the tiled forward, the backward is FULLY TILE-GRANULAR: every
+    full-E buffer rides in HBM (`pl.ANY`) and only (tsz, ed) tile
+    scratches touch VMEM. The ``de0``/``datt`` HBM *outputs* double as the
+    working buffers — ``de0`` carries the evolving e-cotangent between
+    layers (seeded by the classifier backward, read-then-overwritten per
+    tile, and already holding the final e_0 cotangent when the loop ends)
+    and ``datt`` accumulates the attention cotangent per tile
+    (read-add-write). Full-E VMEM scratches (e/due/datt, ~6 MB at 128
+    padded lanes) blew the 16 MB scoped budget at the (256, 4096) bucket
+    by a tile-count-independent 2.87 MB (hardware-measured at 16 AND 32
+    tiles); tile staging is what fits."""
     n_w = meta["_n_flat"]
     w_refs = rest[:n_w]
     out_refs = rest[n_w : n_w + 3 + n_w]
-    e_scr, due_scr, agg_scr, sem = rest[n_w + 3 + n_w :]
-    dx0_ref, de0_ref, datt_ref = out_refs[:3]
+    e_tile, due_tile, agg_scr, att_scr, datt_tile, sem = rest[n_w + 3 + n_w :]
+    dx0_ref, de0_hbm, datt_hbm = out_refs[:3]
     wgrad_refs = out_refs[3:]
 
     W = _unpack(meta, tuple(r[:] for r in w_refs))
@@ -513,30 +596,61 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     b = pl.program_id(0)
     x0 = xs_ref[0, 0]
     n = x0.shape[0]
-    e_total = src_ref.shape[1]
+    e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     nd = x0.shape[1]
-    ed = e_scr.shape[1]
+    ed = e_tile.shape[1]
 
     # ---- classifier backward (+ sigmoid when the primal emits scores) ----
-    dma = pltpu.make_async_copy(es_hbm.at[b, depth], e_scr, sem.at[0])
-    dma.start()
-    dma.wait()
-    hs = _classifier_forward(e_scr[...], cls_w, cls_b)
-    ds = ds_ref[0, 0][:, None]  # [E, 1]
-    if not logits:
-        s = jax.nn.sigmoid(hs[-1])
-        ds = ds * s * (1.0 - s)
-    dcls_w, dcls_b = [], []
-    dh = ds
-    for i in range(len(cls_w) - 1, -1, -1):
-        dcls_w.insert(0, _grad_w(hs[i], dh))
-        dcls_b.insert(0, _bsum(dh))
-        dh = _mm_t(dh, cls_w[i])
-        if i > 0:
-            dh = dh * (hs[i] > 0)
-    due_scr[...] = dh  # cotangent of e_depth
-    datt_ref[0] = jnp.zeros((e_total, ed), jnp.float32)
+    # tile-staged: e_depth tile in, e-cotangent tile out (seeding de0_hbm,
+    # the layer loop's carried cotangent buffer); classifier weight grads
+    # accumulate across tiles in the loop carry
+
+    def cls_tile(tt, carry):
+        dclsw, dclsb = carry
+        lo = tt * tsz
+        dma_e = pltpu.make_async_copy(
+            es_hbm.at[b, depth, pl.ds(lo, tsz)], e_tile, sem.at[0]
+        )
+        dma_e.start()
+        dma_e.wait()
+        hs = _classifier_forward(e_tile[...], cls_w, cls_b)
+        ds = ds_ref[0, 0, pl.ds(lo, tsz)][:, None]  # [tsz, 1]
+        if not logits:
+            s = jax.nn.sigmoid(hs[-1])
+            ds = ds * s * (1.0 - s)
+        dh = ds
+        dclsw_new, dclsb_new = [], []
+        for i in range(len(cls_w) - 1, -1, -1):
+            dclsw_new.insert(0, dclsw[i] + _grad_w(hs[i], dh))
+            dclsb_new.insert(0, dclsb[i] + _bsum(dh))
+            dh = _mm_t(dh, cls_w[i])
+            if i > 0:
+                dh = dh * (hs[i] > 0)
+        due_tile[...] = dh  # cotangent of e_depth, this tile
+        dma_o = pltpu.make_async_copy(
+            due_tile, de0_hbm.at[b, pl.ds(lo, tsz)], sem.at[0]
+        )
+        dma_o.start()
+        dma_o.wait()
+        if with_attention:
+            datt_tile[...] = jnp.zeros((tsz, ed), jnp.float32)
+            dma_z = pltpu.make_async_copy(
+                datt_tile, datt_hbm.at[b, pl.ds(lo, tsz)], sem.at[1]
+            )
+            dma_z.start()
+            dma_z.wait()
+        return tuple(dclsw_new), tuple(dclsb_new)
+
+    cls0 = (
+        tuple(jnp.zeros(w.shape, jnp.float32) for w in cls_w),
+        tuple(
+            jnp.zeros((8, w.shape[1]) if w.shape[0] == 1 else w.shape,
+                      jnp.float32)
+            for w in cls_b
+        ),
+    )
+    dcls_w, dcls_b = jax.lax.fori_loop(0, n_tiles, cls_tile, cls0)
 
     def g0(groups):
         def z(w):
@@ -551,11 +665,8 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     def step(k, carry):
         t = depth - 1 - k
         dX, dx0_acc, G = carry
-        dma_e = pltpu.make_async_copy(es_hbm.at[b, t], e_scr, sem.at[0])
         dma_a = pltpu.make_async_copy(agg_hbm.at[b, t], agg_scr, sem.at[1])
-        dma_e.start()
         dma_a.start()
-        dma_e.wait()
         dma_a.wait()
         x = xs_ref[0, t]
         agg_p = agg_scr[0]
@@ -582,11 +693,28 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
              g_pastb, g_comb0, g_comb, g_combb) = G
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
-            e_t = e_scr[pl.ds(lo, tsz)]
-            att_t = att_ref[0, pl.ds(lo, tsz)] if with_attention else None
+            dma_e = pltpu.make_async_copy(
+                es_hbm.at[b, t, pl.ds(lo, tsz)], e_tile, sem.at[0]
+            )
+            dma_u = pltpu.make_async_copy(
+                de0_hbm.at[b, pl.ds(lo, tsz)], due_tile, sem.at[1]
+            )
+            dma_e.start()
+            dma_u.start()
+            att_t = None
+            if with_attention:
+                dma_t = pltpu.make_async_copy(
+                    att_hbm.at[b, pl.ds(lo, tsz)], att_scr, sem.at[2]
+                )
+                dma_t.start()
+                dma_t.wait()
+                att_t = att_scr[...]
+            dma_e.wait()
+            dma_u.wait()
+            e_t = e_tile[...]
             o = _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention)
-            dp = _dot(oh_d, dA)
-            df = _dot(oh_s, dB)
+            dp = _scatter_t(oh_d, dA)
+            df = _scatter_t(oh_s, dB)
 
             # past message backward
             dWp2 = _grad_w(o["p1"], dp)
@@ -613,8 +741,9 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             dii = _mm_t(df1, fut0[2])
 
             # edge-update backward; the carried cotangent of e_{t+1} for
-            # this tile sits in due_scr (read before the in-place overwrite)
-            due = due + due_scr[pl.ds(lo, tsz)]
+            # this tile was DMA'd from de0_hbm (read before the same HBM
+            # region is overwritten with the e_t cotangent below)
+            due = due + due_tile[...]
             dW3 = _grad_w(o["h2"], due)
             db3 = _bsum(due)
             dh2 = _mm_t(due, eu_rest[1]) * (o["h2"] > 0)
@@ -627,20 +756,35 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             db1 = _bsum(dh1)
             dx_i = dx_i + _mm_t(dh1, eu0[0])
             dx_j = dx_j + _mm_t(dh1, eu0[1])
-            due_scr[pl.ds(lo, tsz)] = _mm_t(dh1, eu0[2])  # cotangent of e_t
+            # cotangent of e_t overwrites this tile's de0_hbm slot
+            due_tile[...] = _mm_t(dh1, eu0[2])
+            dma_uo = pltpu.make_async_copy(
+                due_tile, de0_hbm.at[b, pl.ds(lo, tsz)], sem.at[1]
+            )
+            dma_uo.start()
+            dma_uo.wait()
             if with_attention:
                 dW1d = _grad_w(att_t, dh1)
-                datt_ref[0, pl.ds(lo, tsz)] = (
-                    datt_ref[0, pl.ds(lo, tsz)] + _mm_t(dh1, eu0[3])
+                # read-add-write the datt accumulator tile in HBM
+                dma_ai = pltpu.make_async_copy(
+                    datt_hbm.at[b, pl.ds(lo, tsz)], datt_tile, sem.at[0]
                 )
+                dma_ai.start()
+                dma_ai.wait()
+                datt_tile[...] = datt_tile[...] + _mm_t(dh1, eu0[3])
+                dma_ao = pltpu.make_async_copy(
+                    datt_tile, datt_hbm.at[b, pl.ds(lo, tsz)], sem.at[0]
+                )
+                dma_ao.start()
+                dma_ao.wait()
                 g_eu0_new = (g_eu0[0] + dW1a, g_eu0[1] + dW1b,
                              g_eu0[2] + dW1c, g_eu0[3] + dW1d)
             else:
                 g_eu0_new = (g_eu0[0] + dW1a, g_eu0[1] + dW1b, g_eu0[2] + dW1c)
 
-            dX_new = dX_new + _scatter_t(oh_s, dx_j) + _scatter_t(oh_d, dx_i)
+            dX_new = dX_new + _dot(oh_s, dx_j) + _dot(oh_d, dx_i)
             # initial-x gathers scatter straight into the x0 accumulator
-            dx0_a = dx0_a + _scatter_t(oh_d, dii) + _scatter_t(oh_s, dij)
+            dx0_a = dx0_a + _dot(oh_d, dii) + _dot(oh_s, dij)
 
             G_new = (
                 g_eu0_new,
@@ -677,7 +821,9 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     dX, dx0_acc, G = jax.lax.fori_loop(0, depth, step, carry0)
 
     dx0_ref[0] = dX + dx0_acc
-    de0_ref[0] = due_scr[...]
+    # de0_hbm already holds the e_0 cotangent (the layer loop's last
+    # overwrite) and datt_hbm the fully-accumulated attention cotangent —
+    # no final copy-out
 
     flat_grads = []
     for group in G:
@@ -841,10 +987,10 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             grid=(b,),
             in_specs=[
                 _win_spec(n, nd),
-                _win_spec(e_cnt, ed),
-                _win_spec(e_cnt, ed),
-                _win_spec(e_cnt, 1),
-                _win_spec(e_cnt, 1),
+                pl.BlockSpec(memory_space=pl.ANY),  # e0: DMA'd into e_scr
+                pl.BlockSpec(memory_space=pl.ANY),  # att: DMA'd per tile
+                _win_spec(1, e_cnt),
+                _win_spec(1, e_cnt),
                 *[_const_spec(w.shape) for w in flat],
             ],
             out_specs=[
@@ -860,9 +1006,10 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 jax.ShapeDtypeStruct((b, depth, 2, n, msg_dim), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((e_cnt, ed), jnp.float32),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             interpret=interpret,
         )(x0, e0, att, src_col, dst_col, *flat)
@@ -896,15 +1043,15 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 _win_spec(xs.shape[1], n, nd),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                _win_spec(e_cnt, ed),
-                _win_spec(e_cnt, 1),
-                _win_spec(e_cnt, 1),
+                pl.BlockSpec(memory_space=pl.ANY),  # att: DMA'd per tile
+                _win_spec(1, e_cnt),
+                _win_spec(1, e_cnt),
                 *[_const_spec(w.shape) for w in flat],
             ],
             out_specs=[
                 _win_spec(n, nd),
-                _win_spec(e_cnt, ed),
-                _win_spec(e_cnt, ed),
+                pl.BlockSpec(memory_space=pl.ANY),  # de0: DMA'd out once
+                pl.BlockSpec(memory_space=pl.ANY),  # datt: DMA'd out once
                 *[_const_spec(_g_shape(w)) for w in flat],
             ],
             out_shape=[
@@ -914,10 +1061,12 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 *[jax.ShapeDtypeStruct(_g_shape(w), jnp.float32) for w in flat],
             ],
             scratch_shapes=[
-                pltpu.VMEM((e_cnt, ed), jnp.float32),
-                pltpu.VMEM((e_cnt, ed), jnp.float32),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             interpret=interpret,
         )(ds8, xs, es, agg, att, src_col, dst_col, *flat)
@@ -933,6 +1082,56 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
     mp_scores.defvjp(fwd_rule, bwd_rule)
     _VJP_CACHE[key] = mp_scores
     return mp_scores
+
+
+def _lane_pad_128(w, axis):
+    pad = (-w.shape[axis]) % 128
+    if pad == 0:
+        return w
+    cfg = [(0, 0)] * w.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(w, cfg)
+
+
+def _pad_tiled_lanes(e0, att, flat, meta):
+    """Zero-pad the edge-attr (ed) and message (msg) widths to 128-lane
+    multiples for the TILED kernels: their HBM residual stashes (per-layer
+    e_t, agg_past/agg_future) are DMA'd with leading-index slices, and
+    Mosaic requires the sliced trailing dim to be a multiple of the
+    128-lane tiling (hardware-measured failure: 'Slice shape along
+    dimension 3 must be aligned to tiling (128), but is 64' at the
+    (256, 4096) bucket with edge dim 64).
+
+    Zero padding is EXACT, not approximate: padded input lanes are zero
+    and padded weight rows/cols are zero, so every padded activation lane
+    and every padded gradient entry is identically zero; the cotangents of
+    the original leaves flow back through the ``jnp.pad`` transpose
+    (a slice) automatically."""
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(meta, flat)
+    P = _lane_pad_128
+    # edge-attr width carriers: e_t / att rows of the edge-update first
+    # layer, the ue-producing last layer (cols) + its bias, the ue rows of
+    # both message first layers, and the classifier's first layer rows
+    eu0 = [eu0[0], eu0[1]] + [P(w, 0) for w in eu0[2:]]
+    eu_rest = list(eu_rest[:-1]) + [P(eu_rest[-1], 1)]
+    eu_b = list(eu_b[:-1]) + [P(eu_b[-1], 1)]
+    fut0 = [fut0[0], P(fut0[1], 0), fut0[2]]
+    past0 = [past0[0], P(past0[1], 0), past0[2]]
+    cls_w = [P(cls_w[0], 0)] + list(cls_w[1:])
+    # message width carriers: the message-emitting last layers (cols) +
+    # biases, and the combine first layer's agg rows
+    fut_rest = [P(fut_rest[0], 1)]
+    fut_b = list(fut_b[:-1]) + [P(fut_b[-1], 1)]
+    past_rest = [P(past_rest[0], 1)]
+    past_b = list(past_b[:-1]) + [P(past_b[-1], 1)]
+    comb0 = [P(comb0[0], 0), P(comb0[1], 0)]
+    flat_p = (
+        *eu0, *eu_rest, *eu_b, *fut0, *fut_rest, *fut_b,
+        *past0, *past_rest, *past_b, *comb0, *comb_rest, *comb_b,
+        *cls_w, *cls_b,
+    )
+    return _lane_pad_128(e0, 2), _lane_pad_128(att, 2), flat_p
 
 
 def fused_training_scores(
@@ -994,8 +1193,12 @@ def fused_training_scores(
         # generated in-kernel (an XLA-materialized [B, E, N] one-hot would
         # dominate VMEM at trainval buckets)
         neg = jnp.int32(-1)
-        src_col = jnp.where(batch.edge_mask, batch.edge_src, neg)[..., None].astype(jnp.int32)
-        dst_col = jnp.where(batch.edge_mask, batch.edge_dst, neg)[..., None].astype(jnp.int32)
+        # [B, 1, E] masked index ROWS (a [E, 1] s32 column tiles to E x 128
+        # physical lanes -- 2 MB of double-buffered VMEM per input at
+        # trainval buckets; the row costs E x 8)
+        src_col = jnp.where(batch.edge_mask, batch.edge_src, neg)[:, None, :].astype(jnp.int32)
+        dst_col = jnp.where(batch.edge_mask, batch.edge_dst, neg)[:, None, :].astype(jnp.int32)
+        e0, att, flat = _pad_tiled_lanes(e0, att, flat, meta)
         msg_dim = _unpack(meta, flat)[9][0].shape[0]
         fn = _get_vjp_tiled(
             meta_key, meta, model.depth, with_attention, logits, n_tiles,

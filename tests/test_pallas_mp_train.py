@@ -107,8 +107,8 @@ def test_fused_train_guard_coverage():
     assert _train_tiles_for(64, 256) == 1  # monolithic
     assert _train_tiles_for(64, 512) == 1
     assert _train_tiles_for(128, 1024) == 2  # tiled from here up
-    assert _train_tiles_for(256, 2048) == 8
-    assert _train_tiles_for(256, 4096) == 16  # trainval L=5 training bucket
+    assert _train_tiles_for(256, 2048) == 4
+    assert _train_tiles_for(256, 4096) == 8  # trainval L=5 training bucket
     assert fused_train_supported(256, 4096)
     assert not fused_train_supported(512, 8192)  # beyond the VMEM model
 
