@@ -97,7 +97,12 @@ class DeviceScenePipeline:
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
     def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int,
-                  mesh_gather: bool = False):
+                  mesh_gather: bool = False, grid_len: int = None):
+        # grid_len: effective Pallas grid length of the final program when
+        # it differs from num_windows (the grouped dispatch vmaps S scenes
+        # over this fn -> S x W grid; the biggest fused buckets only fit
+        # at short grids, ops.pallas_mp._tiles_for)
+        grid_len = num_windows if grid_len is None else grid_len
         model = self.model
         window_len, k = self.window_len, min(self.k, max_nodes)
 
@@ -155,7 +160,7 @@ class DeviceScenePipeline:
             from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
             if self.fused and fused_supported(
-                max_nodes, g["edge_src"].shape[1]
+                max_nodes, g["edge_src"].shape[1], grid_len
             ):
                 from batch3dmot_tpu.ops.pallas_mp import (
                     fused_scores_from_encodings,
@@ -380,7 +385,9 @@ class DeviceScenePipeline:
 
         key = ("grp", S, m_pad, num_windows, max_nodes)
         if key not in self._compiled:
-            single = self._build_fn(m_pad, num_windows, max_nodes)
+            single = self._build_fn(
+                m_pad, num_windows, max_nodes, grid_len=S * num_windows
+            )
             in_axes = (None,) + (0,) * 16
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P

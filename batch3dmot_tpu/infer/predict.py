@@ -89,7 +89,8 @@ def make_scorer(model, variables, mesh=None, fused="auto") -> Callable:
         from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
         if fused and fused_supported(
-            batch.pose.shape[1], batch.edge_src.shape[1]
+            batch.pose.shape[1], batch.edge_src.shape[1],
+            batch.pose.shape[0],
         ):
             from batch3dmot_tpu.ops.pallas_mp import (
                 fused_logits_pose,
@@ -207,7 +208,8 @@ class SceneEncodedScorer:
             x_img, pn, rn, lp, rp = enc
 
             if self.fused and fused_supported(
-                batch.pose.shape[1], batch.edge_src.shape[1]
+                batch.pose.shape[1], batch.edge_src.shape[1],
+                batch.pose.shape[0],
             ):
                 from batch3dmot_tpu.ops.pallas_mp import (
                     fused_scores_from_encodings,

@@ -53,38 +53,52 @@ _FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
 
 # Beyond it, the EDGE-TILED kernel variant processes each layer's edges in
 # chunks: only one chunk's MLP intermediates are live at a time, the
-# evolving edge attrs sit in a VMEM scratch ref, and the one-hot
-# gather/scatter tiles are GENERATED IN-KERNEL from the [E] src/dst index
-# vectors (broadcasted-iota compare) — no [E, N] one-hot ever exists in
+# evolving edge attrs sit in a VMEM scratch ref, and TRANSPOSED one-hot
+# gather/scatter tiles are GENERATED IN-KERNEL from the [1, E] src/dst
+# index ROWS (broadcasted-iota compare) — no [E, N] one-hot ever exists in
 # HBM or VMEM. The binding constraints are the full-E edge-attr buffers
 # (input blocks x Mosaic double buffering + the scratch) and the node-side
 # state, hence the caps below; above them, callers fall back to XLA (~75%
 # of roofline at such sizes, docs/RESULTS.md).
-# Boundary evidence for the caps: (512, 8192) ran 64.5K over the 16 MB
-# limit and finer tilings (32+ tiles) crash the TPU compiler subprocess;
-# (256, 4096) at 16 tiles won 1.6x at 8-window grids but ran 256.5K over
-# at the device pipeline's 40-window grids (Mosaic pipelines deeper on
-# longer grids, so near-limit configurations are grid-length-sensitive).
-# Coverage therefore stops at the grid-length-robust edge*node <= 512k
-# set — (128, 2048), (128, 4096), (256, 2048) — all validated at both
-# grid lengths.
-_TILED_MAX_EDGES = 4096
+#
+# The caps are hardware-set, in two regimes. Up to edge*node <= 512k the
+# round-2 per-tile formula is validated at every grid length. Round 3's
+# [1, E] index-row switch (an [E, 1] s32 column tiles to E x 128 physical
+# lanes — 2 MB double-buffered per input at E=4096, the term that made
+# near-limit buckets grid-length-fragile) opened the bigger buckets:
+# (256, 4096) at 16 tiles now wins 2.77x / 2.32x vs XLA at 8- / 40-window
+# grids (scripts/probe_tiled_big.py; previously 256.5K over at 40), and
+# (512, 8192) fits at SHORT (<= 8-window) grids (1.71x at 16 tiles) but
+# still fails the compiler at 40-window grids — Mosaic pipelines deeper on
+# longer grids — so 4M-product buckets are gated on the caller's grid
+# length and everything above the long-grid cap falls back to XLA.
+_TILED_MAX_EDGES = 8192
 _TILED_MAX_NODES = 512
-_TILED_MAX_PRODUCT = 2048 * 256
+_TILED_MAX_PRODUCT = 2048 * 256  # per-tile-formula regime (grid-robust)
+_TILED_MAX_PRODUCT_LONG = 4096 * 512  # validated at 40-window grids
+_TILED_MAX_PRODUCT_SHORT = 8192 * 512  # validated at <= 8-window grids
+_SHORT_GRID = 8
 
 
-def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
+def _tiles_for(max_nodes: int, max_edges: int,
+               grid: Optional[int] = None) -> Optional[int]:
     """Edge-tile count for the fused kernel at this bucket (1 = untiled),
-    or None when the bucket exceeds even the tiled variant's VMEM model."""
+    or None when the bucket exceeds the tiled variant's VMEM model.
+    ``grid`` is the window-batch (Pallas grid) length when the caller
+    knows it; near-limit buckets are grid-length-sensitive and unknown
+    grids are treated as long."""
     product = max_edges * max_nodes
     if product <= _FUSED_MAX_EDGE_NODE_PRODUCT:
         return 1
-    if (
-        max_edges > _TILED_MAX_EDGES
-        or max_nodes > _TILED_MAX_NODES
-        or product > _TILED_MAX_PRODUCT
-    ):
+    if max_edges > _TILED_MAX_EDGES or max_nodes > _TILED_MAX_NODES:
         return None
+    if product > _TILED_MAX_PRODUCT:
+        # extended (row-layout) regime: fixed hardware-picked tile sizes
+        short = grid is not None and grid <= _SHORT_GRID
+        cap = _TILED_MAX_PRODUCT_SHORT if short else _TILED_MAX_PRODUCT_LONG
+        if product > cap:
+            return None
+        return max_edges // (256 if max_edges <= 4096 else 512)
     # 4096-edge buckets need a smaller tile target: the full-E edge-attr
     # buffers leave less VMEM headroom for per-tile intermediates
     per_tile = _FUSED_MAX_EDGE_NODE_PRODUCT // (2 if max_edges >= 4096 else 1)
@@ -94,10 +108,12 @@ def _tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     return tiles if (max_edges // tiles) % 8 == 0 else None
 
 
-def fused_supported(max_nodes: int, max_edges: int) -> bool:
+def fused_supported(max_nodes: int, max_edges: int,
+                    grid: Optional[int] = None) -> bool:
     """Whether a fused MP kernel (single-shot or edge-tiled) fits at this
-    bucket."""
-    return _tiles_for(max_nodes, max_edges) is not None
+    bucket; pass the window-batch length as ``grid`` when known (the
+    biggest buckets fit only at short grids)."""
+    return _tiles_for(max_nodes, max_edges, grid) is not None
 
 
 def _split_rows(w, sizes):
@@ -387,7 +403,7 @@ def fused_mp_scores(
     ``force_tiles`` overrides the VMEM-model tile choice (tests)."""
     b, n, _ = x0.shape
     e = src.shape[1]
-    n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e)
+    n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, b)
     assert n_tiles is not None and e % n_tiles == 0, (n, e, n_tiles)
     with_attention = att is not None
     att_in = att if with_attention else jnp.zeros_like(e0)

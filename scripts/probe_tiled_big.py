@@ -34,24 +34,29 @@ from batch3dmot_tpu.models import MultimodalGNN
 from batch3dmot_tpu.ops.pallas_mp import fused_scores_from_encodings
 
 
-def time_fn(fn, *args, reps=(2, 10)):
-    """Scanned-repetition differential (relay-safe timing)."""
+def time_fn(fn, batch, *encs, reps=(2, 10)):
+    """Scanned-repetition differential (relay-safe timing). The carry
+    perturbs batch.pose each rep so XLA cannot hoist the loop-invariant
+    body out of the scan (the bench.py trap)."""
+    import dataclasses
+
     outs = {}
     for k in reps:
         @jax.jit
-        def run(*a, k=k):
+        def run(b, *e, k=k):
             def body(c, _):
-                r = fn(*a)
+                bp = dataclasses.replace(b, pose=b.pose + c * 1e-30)
+                r = fn(bp, *e)
                 return c + r.sum() * 1e-30, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return c
 
-        np.asarray(run(*args))
+        np.asarray(run(batch, *encs))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(run(*args))
+            np.asarray(run(batch, *encs))
             best = min(best, time.perf_counter() - t0)
         outs[k] = best
     return (outs[reps[1]] - outs[reps[0]]) / (reps[1] - reps[0])
@@ -66,7 +71,13 @@ def main():
     )
     windows = [w for w in build_scene_graphs(scene, 5, cfg) if w.num_edges > 0]
     model = MultimodalGNN()
-    for mn, me in [(256, 4096), (512, 8192)]:
+    buckets = [(256, 4096), (512, 8192)]
+    if os.environ.get("B3D_PROBE_BUCKETS"):
+        buckets = [
+            tuple(int(x) for x in b.split(","))
+            for b in os.environ["B3D_PROBE_BUCKETS"].split(";")
+        ]
+    for mn, me in buckets:
         fit = [w for w in windows if w.num_nodes <= mn and w.num_edges <= me]
         for B in (8, 40):
             graphs = [

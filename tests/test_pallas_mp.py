@@ -217,13 +217,17 @@ def test_tiles_for_vmem_model():
     assert _tiles_for(128, 2048) == 2
     assert _tiles_for(128, 4096) == 8
     assert _tiles_for(256, 2048) == 4
-    # beyond 512k edge*node the tiled variant is grid-length-fragile on
-    # hardware (VMEM at long grids / compiler crashes at finer tilings)
-    assert _tiles_for(256, 4096) is None
-    assert _tiles_for(512, 4096) is None
-    assert _tiles_for(512, 8192) is None
+    # beyond 512k edge*node: the round-3 [1, E] index-row regime with
+    # fixed hardware-picked tile sizes (scripts/probe_tiled_big.py)
+    assert _tiles_for(256, 4096) == 16  # grid-robust (probed at 8 AND 40)
+    assert _tiles_for(512, 4096) == 16
+    # 4M-product buckets fit only at short (<= 8-window) grids
+    assert _tiles_for(512, 8192) is None  # unknown grid -> treated long
+    assert _tiles_for(512, 8192, grid=40) is None
+    assert _tiles_for(512, 8192, grid=8) == 16
     assert _tiles_for(1024, 32768) is None
-    assert fused_supported(128, 4096) and not fused_supported(256, 4096)
+    assert fused_supported(256, 4096) and not fused_supported(512, 8192)
+    assert fused_supported(512, 8192, 8)
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
