@@ -59,21 +59,35 @@ _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT = 512 * 64
 # TILE-GRANULAR: TRANSPOSED one-hot tiles are generated in-kernel per edge
 # chunk from [1, E] index rows, and EVERY full-E buffer rides in HBM
 # (`pl.ANY`) — e0, att, the per-layer e_t / agg residual stashes, and the
-# e0/att cotangents — DMA'd tile-by-tile through single (tsz, ed) VMEM
+# e0/att cotangents — DMA'd tile-by-tile through single VMEM tile
 # scratches. The backward's carried e-cotangent and datt accumulator use
 # the de0/datt HBM *outputs* as their working buffers. Why nothing full-E
 # may touch VMEM (all hardware-measured at the (256, 4096) bucket):
 # blocked full-E refs pay 2x their size through Mosaic's grid
 # double-buffering (22.56 MB scoped vs the 16 MB/core limit), and even
-# full-E VMEM *scratches* (e/due/datt, ~6 MB) left the backward a
-# tile-count-independent 2.87 MB over. Sliced HBM DMAs force the
-# edge-attr and message widths to 128-lane multiples (_pad_tiled_lanes;
-# 'slice must be aligned to tiling (128)'). The backward re-loads the
+# full-E VMEM *scratches* (e/due/datt) left the backward a
+# tile-count-independent 2.87 MB over. The backward re-loads the
 # stashes per layer and RECOMPUTES the intra-tile intermediates (standard
 # rematerialization). Tile-size sweep on hardware at (256, 4096) x8
 # windows, encoded-path train step: 32 tiles 17.8 ms (DMA-latency-bound),
 # 16 tiles 13.2 ms, 8 tiles 11.8 ms vs 18.1 ms XLA autodiff (1.5x) —
 # hence the 128k edges*nodes per-tile target.
+#
+# Edge-attr tensors ride TRANSPOSED [ed, E] (round-3). Mosaic requires the
+# sliced trailing dim of an HBM DMA to be 128-aligned ('slice must be
+# aligned to tiling (128)'); round 2 satisfied that by zero-padding the
+# edge-attr width 64 -> 128 (_pad_tiled_lanes), which doubled the e-stash
+# bytes AND the cycles of every ed-sided matmul (M/K dims scale MXU
+# passes). Storing e0/att/the e_t stashes/de0/datt as [ed, E] instead puts
+# the 128-aligned EDGE dim last (tile slices are tsz >= 256 multiples of
+# 128) and leaves ed = 64 (mm) / 32 (pose) unpadded as the sublane dim.
+# Every contraction stays one of the three hardware-proven dot_general
+# forms (_dot native, _scatter_t lhs-c0, _mm_t rhs-c1): gathers/scatters
+# keep the [N, tsz] one-hot orientation, the ue-producing weight + bias
+# are shipped pre-transposed ([ed, h2] / [ed, 1]) so ueT = _mm_t(WueT, h2)
+# lands stash-ready, and transposed weight-grads (dWueT = dueT @ h2) come
+# back in the transposed layout whose cotangent the wrapper's jnp
+# transpose maps home automatically.
 _TRAIN_TILED_MAX_EDGES = 4096
 _TRAIN_TILED_MAX_NODES = 512
 _TRAIN_TILED_MAX_PRODUCT = 4096 * 256
@@ -102,7 +116,9 @@ def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     tiles = max(2, -(-product // _TRAIN_TILE_PRODUCT))
     while max_edges % tiles:
         tiles += 1
-    return tiles if (max_edges // tiles) % 8 == 0 else None
+    # the transposed [ed, E] stashes are DMA'd with trailing-dim tile
+    # slices, which Mosaic requires 128-lane-aligned
+    return tiles if (max_edges // tiles) % 128 == 0 else None
 
 
 def fused_train_supported(max_nodes: int, max_edges: int) -> bool:
@@ -187,6 +203,25 @@ def _classifier_forward(e, cls_w, cls_b):
             h = jnp.maximum(h, 0.0)
         hs.append(h)
     return hs  # [e, h1, h2, h3, logits[E,1]]
+
+
+def _classifier_forward_T(e_T, cls_w, cls_b):
+    """Classifier over a TRANSPOSED [ed, tsz] edge tile (the tiled kernels'
+    stash layout): the first layer is the lhs-c0 form; downstream
+    activations are untransposed [tsz, f]. ``hs[0]`` holds the transposed
+    tile itself (the backward's first-layer weight grad is the NATIVE form
+    ``_dot(e_T, dh)``)."""
+    hs = [e_T]
+    h = _scatter_t(e_T, cls_w[0]) + cls_b[0]
+    if len(cls_w) > 1:
+        h = jnp.maximum(h, 0.0)
+    hs.append(h)
+    for i in range(1, len(cls_w)):
+        h = _dot(h, cls_w[i]) + cls_b[i]
+        if i < len(cls_w) - 1:
+            h = jnp.maximum(h, 0.0)
+        hs.append(h)
+    return hs  # [e_T, h1, h2, h3, logits[tsz,1]]
 
 
 def _train_fwd_kernel(meta, depth, with_attention, logits,
@@ -422,30 +457,35 @@ def _tile_onehots(src_ref, dst_ref, lo, tsz, n):
     return oh_s, oh_d
 
 
-def _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention):
+def _tile_chain(x, x0, e_tT, att_tT, oh_s, oh_d, W, with_attention):
     """Edge-side forward chain of one MP layer for one edge tile (through
     f1/p1; f/p themselves are only needed by the forward's aggregation).
     ``oh_s``/``oh_d`` are the TRANSPOSED [N, tsz] tiles — gathers are
-    contract-dim-0 matmuls (``_scatter_t``)."""
+    contract-dim-0 matmuls (``_scatter_t``). ``e_tT``/``att_tT`` arrive
+    TRANSPOSED [ed, tsz] (the stash layout); the staged ``eu_rest[-1]`` /
+    ``eu_b[-1]`` are pre-transposed ([ed, h2] / [ed, 1]) so ``ueT`` is
+    produced stash-ready as an ``_mm_t`` without any in-kernel transpose."""
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      _, _, _, _, _) = W
     x_j = _scatter_t(oh_s, x)
     x_i = _scatter_t(oh_d, x)
     ii = _scatter_t(oh_d, x0)
     ij = _scatter_t(oh_s, x0)
-    h1p = _dot(x_i, eu0[0]) + _dot(x_j, eu0[1]) + _dot(e_t, eu0[2])
+    h1p = _dot(x_i, eu0[0]) + _dot(x_j, eu0[1]) + _scatter_t(e_tT, eu0[2])
     if with_attention:
-        h1p = h1p + _dot(att_t, eu0[3])
+        h1p = h1p + _scatter_t(att_tT, eu0[3])
     h1 = jnp.maximum(h1p + eu_b[0], 0.0)
     h2 = jnp.maximum(_dot(h1, eu_rest[0]) + eu_b[1], 0.0)
-    ue = _dot(h2, eu_rest[1]) + eu_b[2]
+    ueT = _mm_t(eu_rest[1], h2) + eu_b[2]  # [ed, tsz]
     f1 = jnp.maximum(
-        _dot(x_i, fut0[0]) + _dot(ue, fut0[1]) + _dot(ii, fut0[2]) + fut_b[0], 0.0
+        _dot(x_i, fut0[0]) + _scatter_t(ueT, fut0[1]) + _dot(ii, fut0[2])
+        + fut_b[0], 0.0
     )
     p1 = jnp.maximum(
-        _dot(x_j, past0[0]) + _dot(ue, past0[1]) + _dot(ij, past0[2]) + past_b[0], 0.0
+        _dot(x_j, past0[0]) + _scatter_t(ueT, past0[1]) + _dot(ij, past0[2])
+        + past_b[0], 0.0
     )
-    return dict(x_j=x_j, x_i=x_i, ii=ii, ij=ij, h1=h1, h2=h2, ue=ue, f1=f1,
+    return dict(x_j=x_j, x_i=x_i, ii=ii, ij=ij, h1=h1, h2=h2, ueT=ueT, f1=f1,
                 p1=p1)
 
 
@@ -457,11 +497,13 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     The evolving edge state is FULLY HBM-RESIDENT: the ``es_hbm`` stash is
     the single source of truth (layer ``t`` reads its e_t tile from
     ``es_hbm[b, t]`` and writes its ue tile to ``es_hbm[b, t+1]``), so the
-    only edge-sized VMEM residents are single (tsz, ed) tile scratches.
-    Full-E VMEM buffers — whether blocked refs (2x via Mosaic's grid
-    double-buffering) or scratches — blew the 16 MB scoped budget at the
-    (256, 4096) bucket in every intermediate design (hardware-measured
-    22.56 / 20.56 / 18.87 MB); tile-granular staging is what fits."""
+    only edge-sized VMEM residents are single tile scratches. Full-E VMEM
+    buffers — whether blocked refs (2x via Mosaic's grid double-buffering)
+    or scratches — blew the 16 MB scoped budget at the (256, 4096) bucket
+    in every intermediate design (hardware-measured 22.56 / 20.56 /
+    18.87 MB); tile-granular staging is what fits. Edge-attr buffers are
+    TRANSPOSED [ed, E] so the 128-aligned tile slice rides the trailing
+    dim and ed stays unpadded (see the module-level layout note)."""
     w_refs = rest[:-8]
     scores_ref, xs_ref, es_hbm, agg_hbm, e_tile, agg_scr, att_scr, sem = rest[-8:]
     W = _unpack(meta, tuple(r[:] for r in w_refs))
@@ -478,12 +520,12 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     def seed_tile(tt, _):
         lo = tt * tsz
         dma_i = pltpu.make_async_copy(
-            e0_hbm.at[b, pl.ds(lo, tsz)], e_tile, sem.at[0]
+            e0_hbm.at[b, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
         )
         dma_i.start()
         dma_i.wait()
         dma_o = pltpu.make_async_copy(
-            e_tile, es_hbm.at[b, 0, pl.ds(lo, tsz)], sem.at[0]
+            e_tile, es_hbm.at[b, 0, :, pl.ds(lo, tsz)], sem.at[0]
         )
         dma_o.start()
         dma_o.wait()
@@ -499,27 +541,27 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
             dma_e = pltpu.make_async_copy(
-                es_hbm.at[b, t, pl.ds(lo, tsz)], e_tile, sem.at[0]
+                es_hbm.at[b, t, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
             )
             dma_e.start()
-            att_t = None
+            att_tT = None
             if with_attention:
                 dma_t = pltpu.make_async_copy(
-                    att_hbm.at[b, pl.ds(lo, tsz)], att_scr, sem.at[2]
+                    att_hbm.at[b, :, pl.ds(lo, tsz)], att_scr, sem.at[2]
                 )
                 dma_t.start()
                 dma_t.wait()
-                att_t = att_scr[...]
+                att_tT = att_scr[...]
             dma_e.wait()
             o = _tile_chain(
-                x, x0, e_tile[...], att_t, oh_s, oh_d, W, with_attention
+                x, x0, e_tile[...], att_tT, oh_s, oh_d, W, with_attention
             )
             f = _dot(o["f1"], fut_rest[0]) + fut_b[1]
             p = _dot(o["p1"], past_rest[0]) + past_b[1]
-            # overwrite the tile scratch with ue and stash it as e_{t+1}
-            e_tile[...] = o["ue"]
+            # overwrite the tile scratch with ueT and stash it as e_{t+1}
+            e_tile[...] = o["ueT"]
             dma_u = pltpu.make_async_copy(
-                e_tile, es_hbm.at[b, t + 1, pl.ds(lo, tsz)], sem.at[0]
+                e_tile, es_hbm.at[b, t + 1, :, pl.ds(lo, tsz)], sem.at[0]
             )
             dma_u.start()
             dma_u.wait()
@@ -542,15 +584,16 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
 
     jax.lax.fori_loop(0, depth, layer, x0)
 
-    # classifier per edge tile over the stashed e_depth
+    # classifier per edge tile over the stashed e_depth (transposed tile:
+    # the first layer is the lhs-c0 form, the rest run untransposed)
     def cls_tile(tt, _):
         lo = tt * tsz
         dma_e = pltpu.make_async_copy(
-            es_hbm.at[b, depth, pl.ds(lo, tsz)], e_tile, sem.at[0]
+            es_hbm.at[b, depth, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
         )
         dma_e.start()
         dma_e.wait()
-        out = _classifier_forward(e_tile[...], cls_w, cls_b)[-1][:, 0]
+        out = _classifier_forward_T(e_tile[...], cls_w, cls_b)[-1][:, 0]
         if not logits:
             out = jax.nn.sigmoid(out)
         scores_ref[0, :, pl.ds(lo, tsz)] = jnp.broadcast_to(
@@ -573,16 +616,17 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     place with the cotangent of e_t (read-before-write within each tile).
 
     Like the tiled forward, the backward is FULLY TILE-GRANULAR: every
-    full-E buffer rides in HBM (`pl.ANY`) and only (tsz, ed) tile
-    scratches touch VMEM. The ``de0``/``datt`` HBM *outputs* double as the
-    working buffers — ``de0`` carries the evolving e-cotangent between
-    layers (seeded by the classifier backward, read-then-overwritten per
-    tile, and already holding the final e_0 cotangent when the loop ends)
-    and ``datt`` accumulates the attention cotangent per tile
-    (read-add-write). Full-E VMEM scratches (e/due/datt, ~6 MB at 128
-    padded lanes) blew the 16 MB scoped budget at the (256, 4096) bucket
-    by a tile-count-independent 2.87 MB (hardware-measured at 16 AND 32
-    tiles); tile staging is what fits."""
+    full-E buffer rides in HBM (`pl.ANY`) and only [ed, tsz] tile
+    scratches touch VMEM (transposed — see the module-level layout note).
+    The ``de0``/``datt`` HBM *outputs* double as the working buffers —
+    ``de0`` carries the evolving e-cotangent between layers (seeded by the
+    classifier backward, read-then-overwritten per tile, and already
+    holding the final e_0 cotangent when the loop ends) and ``datt``
+    accumulates the attention cotangent per tile (read-add-write). Full-E
+    VMEM scratches (e/due/datt, ~6 MB at 128 padded lanes) blew the 16 MB
+    scoped budget at the (256, 4096) bucket by a tile-count-independent
+    2.87 MB (hardware-measured at 16 AND 32 tiles); tile staging is what
+    fits."""
     n_w = meta["_n_flat"]
     w_refs = rest[:n_w]
     out_refs = rest[n_w : n_w + 3 + n_w]
@@ -599,7 +643,7 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     nd = x0.shape[1]
-    ed = e_tile.shape[1]
+    ed = e_tile.shape[0]  # tiles ride transposed [ed, tsz]
 
     # ---- classifier backward (+ sigmoid when the primal emits scores) ----
     # tile-staged: e_depth tile in, e-cotangent tile out (seeding de0_hbm,
@@ -610,33 +654,36 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         dclsw, dclsb = carry
         lo = tt * tsz
         dma_e = pltpu.make_async_copy(
-            es_hbm.at[b, depth, pl.ds(lo, tsz)], e_tile, sem.at[0]
+            es_hbm.at[b, depth, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
         )
         dma_e.start()
         dma_e.wait()
-        hs = _classifier_forward(e_tile[...], cls_w, cls_b)
+        hs = _classifier_forward_T(e_tile[...], cls_w, cls_b)
         ds = ds_ref[0, 0, pl.ds(lo, tsz)][:, None]  # [tsz, 1]
         if not logits:
             s = jax.nn.sigmoid(hs[-1])
             ds = ds * s * (1.0 - s)
         dh = ds
         dclsw_new, dclsb_new = [], []
-        for i in range(len(cls_w) - 1, -1, -1):
+        for i in range(len(cls_w) - 1, 0, -1):
             dclsw_new.insert(0, dclsw[i] + _grad_w(hs[i], dh))
             dclsb_new.insert(0, dclsb[i] + _bsum(dh))
             dh = _mm_t(dh, cls_w[i])
-            if i > 0:
-                dh = dh * (hs[i] > 0)
-        due_tile[...] = dh  # cotangent of e_depth, this tile
+            dh = dh * (hs[i] > 0)
+        # first layer: hs[0] is the TRANSPOSED tile — its weight grad is
+        # the native form, and the e-cotangent lands transposed directly
+        dclsw_new.insert(0, dclsw[0] + _dot(hs[0], dh))
+        dclsb_new.insert(0, dclsb[0] + _bsum(dh))
+        due_tile[...] = _mm_t(cls_w[0], dh)  # [ed, tsz] cotangent of e_depth
         dma_o = pltpu.make_async_copy(
-            due_tile, de0_hbm.at[b, pl.ds(lo, tsz)], sem.at[0]
+            due_tile, de0_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[0]
         )
         dma_o.start()
         dma_o.wait()
         if with_attention:
-            datt_tile[...] = jnp.zeros((tsz, ed), jnp.float32)
+            datt_tile[...] = jnp.zeros((ed, tsz), jnp.float32)
             dma_z = pltpu.make_async_copy(
-                datt_tile, datt_hbm.at[b, pl.ds(lo, tsz)], sem.at[1]
+                datt_tile, datt_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[1]
             )
             dma_z.start()
             dma_z.wait()
@@ -694,38 +741,39 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
             dma_e = pltpu.make_async_copy(
-                es_hbm.at[b, t, pl.ds(lo, tsz)], e_tile, sem.at[0]
+                es_hbm.at[b, t, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
             )
             dma_u = pltpu.make_async_copy(
-                de0_hbm.at[b, pl.ds(lo, tsz)], due_tile, sem.at[1]
+                de0_hbm.at[b, :, pl.ds(lo, tsz)], due_tile, sem.at[1]
             )
             dma_e.start()
             dma_u.start()
-            att_t = None
+            att_tT = None
             if with_attention:
                 dma_t = pltpu.make_async_copy(
-                    att_hbm.at[b, pl.ds(lo, tsz)], att_scr, sem.at[2]
+                    att_hbm.at[b, :, pl.ds(lo, tsz)], att_scr, sem.at[2]
                 )
                 dma_t.start()
                 dma_t.wait()
-                att_t = att_scr[...]
+                att_tT = att_scr[...]
             dma_e.wait()
             dma_u.wait()
-            e_t = e_tile[...]
-            o = _tile_chain(x, x0, e_t, att_t, oh_s, oh_d, W, with_attention)
+            e_tT = e_tile[...]
+            o = _tile_chain(x, x0, e_tT, att_tT, oh_s, oh_d, W, with_attention)
             dp = _scatter_t(oh_d, dA)
             df = _scatter_t(oh_s, dB)
 
-            # past message backward
+            # past message backward (ue rides transposed: its weight grad
+            # is the native form, the ue cotangent lands transposed)
             dWp2 = _grad_w(o["p1"], dp)
             dbp2 = _bsum(dp)
             dp1 = _mm_t(dp, past_rest[0]) * (o["p1"] > 0)
             dWp1a = _grad_w(o["x_j"], dp1)
-            dWp1b = _grad_w(o["ue"], dp1)
+            dWp1b = _dot(o["ueT"], dp1)
             dWp1c = _grad_w(o["ij"], dp1)
             dbp1 = _bsum(dp1)
             dx_j = _mm_t(dp1, past0[0])
-            due = _mm_t(dp1, past0[1])
+            dueT = _mm_t(past0[1], dp1)
             dij = _mm_t(dp1, past0[2])
 
             # future message backward
@@ -733,47 +781,50 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             dbf2 = _bsum(df)
             df1 = _mm_t(df, fut_rest[0]) * (o["f1"] > 0)
             dWf1a = _grad_w(o["x_i"], df1)
-            dWf1b = _grad_w(o["ue"], df1)
+            dWf1b = _dot(o["ueT"], df1)
             dWf1c = _grad_w(o["ii"], df1)
             dbf1 = _bsum(df1)
             dx_i = _mm_t(df1, fut0[0])
-            due = due + _mm_t(df1, fut0[1])
+            dueT = dueT + _mm_t(fut0[1], df1)
             dii = _mm_t(df1, fut0[2])
 
             # edge-update backward; the carried cotangent of e_{t+1} for
             # this tile was DMA'd from de0_hbm (read before the same HBM
-            # region is overwritten with the e_t cotangent below)
-            due = due + due_tile[...]
-            dW3 = _grad_w(o["h2"], due)
-            db3 = _bsum(due)
-            dh2 = _mm_t(due, eu_rest[1]) * (o["h2"] > 0)
+            # region is overwritten with the e_t cotangent below).
+            # eu_rest[1] / eu_b[2] arrive pre-transposed ([ed, h2] /
+            # [ed, 1]): dWueT is the native form and db3 a matmul against
+            # a ones column
+            dueT = dueT + due_tile[...]
+            dW3 = _dot(dueT, o["h2"])
+            db3 = _dot(dueT, jnp.ones((tsz, 1), jnp.float32))
+            dh2 = _scatter_t(dueT, eu_rest[1]) * (o["h2"] > 0)
             dW2 = _grad_w(o["h1"], dh2)
             db2 = _bsum(dh2)
             dh1 = _mm_t(dh2, eu_rest[0]) * (o["h1"] > 0)
             dW1a = _grad_w(o["x_i"], dh1)
             dW1b = _grad_w(o["x_j"], dh1)
-            dW1c = _grad_w(e_t, dh1)
+            dW1c = _dot(e_tT, dh1)
             db1 = _bsum(dh1)
             dx_i = dx_i + _mm_t(dh1, eu0[0])
             dx_j = dx_j + _mm_t(dh1, eu0[1])
             # cotangent of e_t overwrites this tile's de0_hbm slot
-            due_tile[...] = _mm_t(dh1, eu0[2])
+            due_tile[...] = _mm_t(eu0[2], dh1)
             dma_uo = pltpu.make_async_copy(
-                due_tile, de0_hbm.at[b, pl.ds(lo, tsz)], sem.at[1]
+                due_tile, de0_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[1]
             )
             dma_uo.start()
             dma_uo.wait()
             if with_attention:
-                dW1d = _grad_w(att_t, dh1)
+                dW1d = _dot(att_tT, dh1)
                 # read-add-write the datt accumulator tile in HBM
                 dma_ai = pltpu.make_async_copy(
-                    datt_hbm.at[b, pl.ds(lo, tsz)], datt_tile, sem.at[0]
+                    datt_hbm.at[b, :, pl.ds(lo, tsz)], datt_tile, sem.at[0]
                 )
                 dma_ai.start()
                 dma_ai.wait()
-                datt_tile[...] = datt_tile[...] + _mm_t(dh1, eu0[3])
+                datt_tile[...] = datt_tile[...] + _mm_t(eu0[3], dh1)
                 dma_ao = pltpu.make_async_copy(
-                    datt_tile, datt_hbm.at[b, pl.ds(lo, tsz)], sem.at[0]
+                    datt_tile, datt_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[0]
                 )
                 dma_ao.start()
                 dma_ao.wait()
@@ -967,17 +1018,19 @@ def _get_vjp(meta_key, meta, depth, with_attention, logits, interpret):
 
 def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                    msg_dim, interpret):
-    """Tiled-variant custom_vjp: inputs are [B, E, 1] masked index columns
+    """Tiled-variant custom_vjp: inputs are [B, 1, E] masked index rows
     (one-hot tiles are generated in-kernel); the full-E residuals live in
-    HBM stash arrays between forward and backward."""
+    HBM stash arrays between forward and backward. Edge-attr tensors
+    (e0, att, the e_t stashes, de0, datt) ride TRANSPOSED [ed, E]."""
     key = ("tiled", meta_key, depth, with_attention, logits, n_tiles,
            msg_dim, interpret)
     if key in _VJP_CACHE:
         return _VJP_CACHE[key]
 
-    def _fwd(x0, e0, att, src_col, dst_col, flat):
+    def _fwd(x0, e0T, attT, src_row, dst_row, flat):
         b, n, nd = x0.shape
-        e_cnt, ed = e0.shape[1], e0.shape[2]
+        ed, e_cnt = e0T.shape[1], e0T.shape[2]
+        tsz = e_cnt // n_tiles
         kernel = functools.partial(
             _train_fwd_kernel_tiled, meta, depth, with_attention, logits,
             n_tiles,
@@ -987,8 +1040,8 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             grid=(b,),
             in_specs=[
                 _win_spec(n, nd),
-                pl.BlockSpec(memory_space=pl.ANY),  # e0: DMA'd into e_scr
-                pl.BlockSpec(memory_space=pl.ANY),  # att: DMA'd per tile
+                pl.BlockSpec(memory_space=pl.ANY),  # e0T: DMA'd into e_scr
+                pl.BlockSpec(memory_space=pl.ANY),  # attT: DMA'd per tile
                 _win_spec(1, e_cnt),
                 _win_spec(1, e_cnt),
                 *[_const_spec(w.shape) for w in flat],
@@ -1002,32 +1055,33 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             out_shape=[
                 jax.ShapeDtypeStruct((b, 8, e_cnt), jnp.float32),
                 jax.ShapeDtypeStruct((b, depth, n, nd), jnp.float32),
-                jax.ShapeDtypeStruct((b, depth + 1, e_cnt, ed), jnp.float32),
+                jax.ShapeDtypeStruct((b, depth + 1, ed, e_cnt), jnp.float32),
                 jax.ShapeDtypeStruct((b, depth, 2, n, msg_dim), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             interpret=interpret,
-        )(x0, e0, att, src_col, dst_col, *flat)
+        )(x0, e0T, attT, src_row, dst_row, *flat)
         return scores[:, 0, :], xs, es, agg
 
     @jax.custom_vjp
-    def mp_scores(x0, e0, att, src_col, dst_col, flat):
-        out, _, _, _ = _fwd(x0, e0, att, src_col, dst_col, flat)
+    def mp_scores(x0, e0T, attT, src_row, dst_row, flat):
+        out, _, _, _ = _fwd(x0, e0T, attT, src_row, dst_row, flat)
         return out
 
-    def fwd_rule(x0, e0, att, src_col, dst_col, flat):
-        out, xs, es, agg = _fwd(x0, e0, att, src_col, dst_col, flat)
-        return out, (xs, es, agg, att, src_col, dst_col, flat)
+    def fwd_rule(x0, e0T, attT, src_row, dst_row, flat):
+        out, xs, es, agg = _fwd(x0, e0T, attT, src_row, dst_row, flat)
+        return out, (xs, es, agg, attT, src_row, dst_row, flat)
 
     def bwd_rule(res, ds):
-        xs, es, agg, att, src_col, dst_col, flat = res
+        xs, es, agg, attT, src_row, dst_row, flat = res
         b, _, n, nd = xs.shape
-        e_cnt, ed = es.shape[2], es.shape[3]
+        ed, e_cnt = es.shape[2], es.shape[3]
+        tsz = e_cnt // n_tiles
         meta2 = dict(meta)
         meta2["_n_flat"] = len(flat)
         kernel = functools.partial(
@@ -1043,41 +1097,41 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 _win_spec(xs.shape[1], n, nd),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),  # att: DMA'd per tile
+                pl.BlockSpec(memory_space=pl.ANY),  # attT: DMA'd per tile
                 _win_spec(1, e_cnt),
                 _win_spec(1, e_cnt),
                 *[_const_spec(w.shape) for w in flat],
             ],
             out_specs=[
                 _win_spec(n, nd),
-                pl.BlockSpec(memory_space=pl.ANY),  # de0: DMA'd out once
-                pl.BlockSpec(memory_space=pl.ANY),  # datt: DMA'd out once
+                pl.BlockSpec(memory_space=pl.ANY),  # de0T: DMA'd out once
+                pl.BlockSpec(memory_space=pl.ANY),  # dattT: DMA'd out once
                 *[_const_spec(_g_shape(w)) for w in flat],
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, n, nd), jnp.float32),
-                jax.ShapeDtypeStruct((b, e_cnt, ed), jnp.float32),
-                jax.ShapeDtypeStruct((b, e_cnt, ed), jnp.float32),
+                jax.ShapeDtypeStruct((b, ed, e_cnt), jnp.float32),
+                jax.ShapeDtypeStruct((b, ed, e_cnt), jnp.float32),
                 *[jax.ShapeDtypeStruct(_g_shape(w), jnp.float32) for w in flat],
             ],
             scratch_shapes=[
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
-                pltpu.VMEM((e_cnt // n_tiles, ed), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
+                pltpu.VMEM((ed, tsz), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             interpret=interpret,
-        )(ds8, xs, es, agg, att, src_col, dst_col, *flat)
-        dx0, de0, datt = outs[:3]
+        )(ds8, xs, es, agg, attT, src_row, dst_row, *flat)
+        dx0, de0T, dattT = outs[:3]
         dflat = tuple(
             o[0:1] if w.shape[0] == 1 else o for o, w in zip(outs[3:], flat)
         )
         if not with_attention:
-            datt = jnp.zeros_like(datt)
-        return (dx0, de0, datt, jnp.zeros_like(src_col),
-                jnp.zeros_like(dst_col), dflat)
+            dattT = jnp.zeros_like(dattT)
+        return (dx0, de0T, dattT, jnp.zeros_like(src_row),
+                jnp.zeros_like(dst_row), dflat)
 
     mp_scores.defvjp(fwd_rule, bwd_rule)
     _VJP_CACHE[key] = mp_scores
@@ -1093,45 +1147,46 @@ def _lane_pad_128(w, axis):
     return jnp.pad(w, cfg)
 
 
-def _pad_tiled_lanes(e0, att, flat, meta):
-    """Zero-pad the edge-attr (ed) and message (msg) widths to 128-lane
-    multiples for the TILED kernels: their HBM residual stashes (per-layer
-    e_t, agg_past/agg_future) are DMA'd with leading-index slices, and
-    Mosaic requires the sliced trailing dim to be a multiple of the
-    128-lane tiling (hardware-measured failure: 'Slice shape along
-    dimension 3 must be aligned to tiling (128), but is 64' at the
-    (256, 4096) bucket with edge dim 64).
+def _stage_tiled(e0, att, flat, meta):
+    """Stage inputs for the TILED kernels: transpose the edge-attr tensors
+    to the [ed, E] stash layout and zero-pad the MESSAGE width to a
+    128-lane multiple.
 
-    Zero padding is EXACT, not approximate: padded input lanes are zero
-    and padded weight rows/cols are zero, so every padded activation lane
-    and every padded gradient entry is identically zero; the cotangents of
-    the original leaves flow back through the ``jnp.pad`` transpose
-    (a slice) automatically."""
+    The transposition replaces round 2's edge-attr 64 -> 128 zero-padding:
+    Mosaic requires the sliced trailing dim of an HBM DMA to be 128-aligned
+    (hardware-measured failure: 'Slice shape along dimension 3 must be
+    aligned to tiling (128), but is 64' at the (256, 4096) bucket), and the
+    transposed layout puts the 128-aligned edge-tile slice last while ed
+    stays at its natural width as the sublane dim. The ue-producing weight
+    and bias ship pre-transposed so the kernels produce/consume ueT without
+    any in-kernel transpose; their cotangents flow back through the
+    ``jnp.transpose`` automatically, as do de0/datt through the e0/att
+    transposes.
+
+    Message-width zero padding (pose: 64 -> 128; multimodal is naturally
+    128) is EXACT, not approximate: padded weight rows/cols are zero, so
+    every padded activation lane and gradient entry is identically zero and
+    the cotangents flow back through the ``jnp.pad`` transpose (a slice)."""
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(meta, flat)
     P = _lane_pad_128
-    # edge-attr width carriers: e_t / att rows of the edge-update first
-    # layer, the ue-producing last layer (cols) + its bias, the ue rows of
-    # both message first layers, and the classifier's first layer rows
-    eu0 = [eu0[0], eu0[1]] + [P(w, 0) for w in eu0[2:]]
-    eu_rest = list(eu_rest[:-1]) + [P(eu_rest[-1], 1)]
-    eu_b = list(eu_b[:-1]) + [P(eu_b[-1], 1)]
-    fut0 = [fut0[0], P(fut0[1], 0), fut0[2]]
-    past0 = [past0[0], P(past0[1], 0), past0[2]]
-    cls_w = [P(cls_w[0], 0)] + list(cls_w[1:])
+    # the ue-producing last edge-update layer + bias ride transposed
+    eu_rest = list(eu_rest[:-1]) + [eu_rest[-1].T]
+    eu_b = list(eu_b[:-1]) + [eu_b[-1].T]
     # message width carriers: the message-emitting last layers (cols) +
-    # biases, and the combine first layer's agg rows
+    # biases, and the combine first layer's agg rows (the agg stash slabs
+    # are whole-block DMAs; the proven padding is kept)
     fut_rest = [P(fut_rest[0], 1)]
     fut_b = list(fut_b[:-1]) + [P(fut_b[-1], 1)]
     past_rest = [P(past_rest[0], 1)]
     past_b = list(past_b[:-1]) + [P(past_b[-1], 1)]
     comb0 = [P(comb0[0], 0), P(comb0[1], 0)]
-    flat_p = (
+    flat_t = (
         *eu0, *eu_rest, *eu_b, *fut0, *fut_rest, *fut_b,
         *past0, *past_rest, *past_b, *comb0, *comb_rest, *comb_b,
         *cls_w, *cls_b,
     )
-    return _lane_pad_128(e0, 2), _lane_pad_128(att, 2), flat_p
+    return e0.transpose(0, 2, 1), att.transpose(0, 2, 1), flat_t
 
 
 def fused_training_scores(
@@ -1189,22 +1244,22 @@ def fused_training_scores(
     n_tiles = force_tiles if force_tiles is not None else _train_tiles_for(n, e_cnt)
     assert n_tiles is not None and e_cnt % n_tiles == 0, (n, e_cnt, n_tiles)
     if n_tiles > 1:
-        # tiled path: ship [E, 1] masked index columns; one-hot tiles are
-        # generated in-kernel (an XLA-materialized [B, E, N] one-hot would
-        # dominate VMEM at trainval buckets)
+        # tiled path: one-hot tiles are generated in-kernel (an
+        # XLA-materialized [B, E, N] one-hot would dominate VMEM at
+        # trainval buckets)
         neg = jnp.int32(-1)
         # [B, 1, E] masked index ROWS (a [E, 1] s32 column tiles to E x 128
         # physical lanes -- 2 MB of double-buffered VMEM per input at
         # trainval buckets; the row costs E x 8)
-        src_col = jnp.where(batch.edge_mask, batch.edge_src, neg)[:, None, :].astype(jnp.int32)
-        dst_col = jnp.where(batch.edge_mask, batch.edge_dst, neg)[:, None, :].astype(jnp.int32)
-        e0, att, flat = _pad_tiled_lanes(e0, att, flat, meta)
+        src_row = jnp.where(batch.edge_mask, batch.edge_src, neg)[:, None, :].astype(jnp.int32)
+        dst_row = jnp.where(batch.edge_mask, batch.edge_dst, neg)[:, None, :].astype(jnp.int32)
+        e0T, attT, flat = _stage_tiled(e0, att, flat, meta)
         msg_dim = _unpack(meta, flat)[9][0].shape[0]
         fn = _get_vjp_tiled(
             meta_key, meta, model.depth, with_attention, logits, n_tiles,
             msg_dim, interpret,
         )
-        return fn(x0, e0, att, src_col, dst_col, flat)
+        return fn(x0, e0T, attT, src_row, dst_row, flat)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, e_cnt, n), 2)
     emask = batch.edge_mask[..., None]
     oh_src = ((iota == batch.edge_src[..., None]) & emask).astype(jnp.float32)
