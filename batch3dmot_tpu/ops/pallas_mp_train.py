@@ -43,7 +43,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from batch3dmot_tpu.ops.pallas_mp import _unpack, extract_mp_params
 
-_dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+import os as _os
+
+# probe knob: run every kernel matmul with bf16 OPERANDS (f32 accumulate).
+# Not a shipped mode — gradient tolerances and AMOTA impact unvalidated.
+_BF16_PROBE = _os.environ.get("B3D_MP_TRAIN_BF16") == "1"
+
+
+def _c(x):
+    return x.astype(jnp.bfloat16) if _BF16_PROBE else x
+
+
+def _dot(a, b):
+    return jnp.dot(_c(a), _c(b), preferred_element_type=jnp.float32)
 
 
 # VMEM ceiling for one window's TRAINING working set in the MONOLITHIC
@@ -130,21 +142,24 @@ def fused_train_supported(max_nodes: int, max_edges: int) -> bool:
 def _mm_t(dy, w):
     """dy [M, F] x W [K, F] -> dX [M, K]  (dX = dY @ W^T)."""
     return jax.lax.dot_general(
-        dy, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        _c(dy), _c(w), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _grad_w(x, dy):
     """x [M, K] x dy [M, F] -> dW [K, F]  (dW = X^T @ dY)."""
     return jax.lax.dot_general(
-        x, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _c(x), _c(dy), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _scatter_t(oh, d):
     """oh [E, N] x d [E, F] -> [N, F]  (transpose of the one-hot gather)."""
     return jax.lax.dot_general(
-        oh, d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _c(oh), _c(d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -490,7 +505,7 @@ def _tile_chain(x, x0, e_tT, att_tT, oh_s, oh_d, W, with_attention):
 
 
 def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
-                            x0_ref, e0_hbm, att_hbm, src_ref, dst_ref,
+                            x0_ref, e0_hbm, att_ref, src_ref, dst_ref,
                             *rest):
     """Tiled forward: per layer, edges are processed in ``n_tiles`` chunks.
 
@@ -503,9 +518,19 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     in every intermediate design (hardware-measured 22.56 / 20.56 /
     18.87 MB); tile-granular staging is what fits. Edge-attr buffers are
     TRANSPOSED [ed, E] so the 128-aligned tile slice rides the trailing
-    dim and ed stays unpadded (see the module-level layout note)."""
-    w_refs = rest[:-8]
-    scores_ref, xs_ref, es_hbm, agg_hbm, e_tile, agg_scr, att_scr, sem = rest[-8:]
+    dim and ed stays unpadded (see the module-level layout note).
+
+    Tile DMAs are DOUBLE-BUFFERED: the e/att-loads for tile tt+1 start
+    before tile tt's compute, and ue-stores drain two tiles behind (slot
+    reuse waits on the store issued two tiles earlier) — the serialized
+    start/wait-per-tile pattern left the step DMA-latency-bound
+    (7.9 -> ~4-7 ms/grad at (256, 4096) x8). The layer-0 seed is one
+    whole-slab HBM->HBM DMA. Keeping att/datt as full-E blocked VMEM refs
+    instead was measured SLOWER (10.97 ms/grad): the 2x-double-buffered
+    1 MB blocks crowd Mosaic's grid pipelining."""
+    w_refs = rest[:-9]
+    (scores_ref, xs_ref, es_hbm, agg_hbm, e_tile, ue_tile, att_tile,
+     agg_scr, sem) = rest[-9:]
     W = _unpack(meta, tuple(r[:] for r in w_refs))
     (_, _, _, _, fut_rest, fut_b, _, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = W
@@ -516,55 +541,68 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     tsz = e_total // n_tiles
     msg_dim = comb0[0].shape[0]
 
-    # seed the layer-0 edge state: e0 -> es_hbm[b, 0], tile-staged
-    def seed_tile(tt, _):
-        lo = tt * tsz
-        dma_i = pltpu.make_async_copy(
-            e0_hbm.at[b, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
-        )
-        dma_i.start()
-        dma_i.wait()
-        dma_o = pltpu.make_async_copy(
-            e_tile, es_hbm.at[b, 0, :, pl.ds(lo, tsz)], sem.at[0]
-        )
-        dma_o.start()
-        dma_o.wait()
-        return 0
+    # seed the layer-0 edge state: e0 -> es_hbm[b, 0] in one slab DMA
+    dma_seed = pltpu.make_async_copy(
+        e0_hbm.at[b], es_hbm.at[b, 0], sem.at[1]
+    )
+    dma_seed.start()
+    dma_seed.wait()
 
-    jax.lax.fori_loop(0, n_tiles, seed_tile, 0)
+    def e_dma(t, tt, slot):
+        return pltpu.make_async_copy(
+            es_hbm.at[b, t, :, pl.ds(tt * tsz, tsz)], e_tile.at[slot],
+            sem.at[slot],
+        )
+
+    def ue_dma(t, tt, slot):
+        return pltpu.make_async_copy(
+            ue_tile.at[slot], es_hbm.at[b, t + 1, :, pl.ds(tt * tsz, tsz)],
+            sem.at[2 + slot],
+        )
+
+    def att_dma(tt, slot):
+        return pltpu.make_async_copy(
+            att_ref.at[b, :, pl.ds(tt * tsz, tsz)], att_tile.at[slot],
+            sem.at[4 + slot],
+        )
 
     def layer(t, x):
         xs_ref[0, t] = x
+        e_dma(t, 0, 0).start()
+        if with_attention:
+            att_dma(0, 0).start()
 
         def tile(tt, acc):
             agg_p, agg_f = acc
+            cur = jax.lax.rem(tt, 2)
+            nxt = jax.lax.rem(tt + 1, 2)
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
-            dma_e = pltpu.make_async_copy(
-                es_hbm.at[b, t, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
-            )
-            dma_e.start()
+            e_dma(t, tt, cur).wait()
             att_tT = None
             if with_attention:
-                dma_t = pltpu.make_async_copy(
-                    att_hbm.at[b, :, pl.ds(lo, tsz)], att_scr, sem.at[2]
-                )
-                dma_t.start()
-                dma_t.wait()
-                att_tT = att_scr[...]
-            dma_e.wait()
+                att_dma(tt, cur).wait()
+                att_tT = att_tile[cur]
+
+            @pl.when(tt + 1 < n_tiles)
+            def _():
+                e_dma(t, tt + 1, nxt).start()
+                if with_attention:
+                    att_dma(tt + 1, nxt).start()
+
             o = _tile_chain(
-                x, x0, e_tile[...], att_tT, oh_s, oh_d, W, with_attention
+                x, x0, e_tile[cur], att_tT, oh_s, oh_d, W, with_attention
             )
             f = _dot(o["f1"], fut_rest[0]) + fut_b[1]
             p = _dot(o["p1"], past_rest[0]) + past_b[1]
-            # overwrite the tile scratch with ueT and stash it as e_{t+1}
-            e_tile[...] = o["ueT"]
-            dma_u = pltpu.make_async_copy(
-                e_tile, es_hbm.at[b, t + 1, :, pl.ds(lo, tsz)], sem.at[0]
-            )
-            dma_u.start()
-            dma_u.wait()
+
+            # the store issued two tiles ago used this slot: drain it
+            @pl.when(tt >= 2)
+            def _():
+                ue_dma(t, tt - 2, cur).wait()
+
+            ue_tile[cur] = o["ueT"]
+            ue_dma(t, tt, cur).start()
             # transposed tiles: scatters are plain ohT @ d matmuls
             return agg_p + _dot(oh_d, p), agg_f + _dot(oh_s, f)
 
@@ -573,6 +611,9 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             (jnp.zeros((n, msg_dim), jnp.float32),
              jnp.zeros((n, msg_dim), jnp.float32)),
         )
+        # drain the last two ue-stores before the next layer reads e_{t+1}
+        ue_dma(t, n_tiles - 2, (n_tiles - 2) % 2).wait()
+        ue_dma(t, n_tiles - 1, (n_tiles - 1) % 2).wait()
         agg_scr[0] = agg_p
         agg_scr[1] = agg_f
         dma_a = pltpu.make_async_copy(agg_scr, agg_hbm.at[b, t], sem.at[1])
@@ -586,14 +627,19 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
 
     # classifier per edge tile over the stashed e_depth (transposed tile:
     # the first layer is the lhs-c0 form, the rest run untransposed)
+    e_dma(depth, 0, 0).start()
+
     def cls_tile(tt, _):
+        cur = jax.lax.rem(tt, 2)
+        nxt = jax.lax.rem(tt + 1, 2)
         lo = tt * tsz
-        dma_e = pltpu.make_async_copy(
-            es_hbm.at[b, depth, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
-        )
-        dma_e.start()
-        dma_e.wait()
-        out = _classifier_forward_T(e_tile[...], cls_w, cls_b)[-1][:, 0]
+        e_dma(depth, tt, cur).wait()
+
+        @pl.when(tt + 1 < n_tiles)
+        def _():
+            e_dma(depth, tt + 1, nxt).start()
+
+        out = _classifier_forward_T(e_tile[cur], cls_w, cls_b)[-1][:, 0]
         if not logits:
             out = jax.nn.sigmoid(out)
         scores_ref[0, :, pl.ds(lo, tsz)] = jnp.broadcast_to(
@@ -605,7 +651,7 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
 
 
 def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
-                            ds_ref, xs_ref, es_hbm, agg_hbm, att_hbm,
+                            ds_ref, xs_ref, es_hbm, agg_hbm, att_ref,
                             src_ref, dst_ref, *rest):
     """Tiled backward: reverse layer loop re-loading the HBM residuals per
     layer; combine backward runs at node level from the stashed aggs; one
@@ -630,7 +676,8 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     n_w = meta["_n_flat"]
     w_refs = rest[:n_w]
     out_refs = rest[n_w : n_w + 3 + n_w]
-    e_tile, due_tile, agg_scr, att_scr, datt_tile, sem = rest[n_w + 3 + n_w :]
+    (e_tile, due_in, due_out, att_tile, datt_in, datt_out,
+     agg_scr, sem) = rest[n_w + 3 + n_w :]
     dx0_ref, de0_hbm, datt_hbm = out_refs[:3]
     wgrad_refs = out_refs[3:]
 
@@ -643,22 +690,65 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     nd = x0.shape[1]
-    ed = e_tile.shape[0]  # tiles ride transposed [ed, tsz]
+    ed = e_tile.shape[1]  # tiles ride transposed [2, ed, tsz]
+
+    # double-buffered tile DMAs (see the forward's docstring): e- and
+    # due-loads prefetch one tile ahead; due-stores drain two tiles behind
+    def e_dma(t, tt, slot):
+        return pltpu.make_async_copy(
+            es_hbm.at[b, t, :, pl.ds(tt * tsz, tsz)], e_tile.at[slot],
+            sem.at[slot],
+        )
+
+    def di_dma(tt, slot):
+        return pltpu.make_async_copy(
+            de0_hbm.at[b, :, pl.ds(tt * tsz, tsz)], due_in.at[slot],
+            sem.at[2 + slot],
+        )
+
+    def do_dma(tt, slot):
+        return pltpu.make_async_copy(
+            due_out.at[slot], de0_hbm.at[b, :, pl.ds(tt * tsz, tsz)],
+            sem.at[4 + slot],
+        )
+
+    def att_dma(tt, slot):
+        return pltpu.make_async_copy(
+            att_ref.at[b, :, pl.ds(tt * tsz, tsz)], att_tile.at[slot],
+            sem.at[7 + slot],
+        )
+
+    def datt_in_dma(tt, slot):
+        return pltpu.make_async_copy(
+            datt_hbm.at[b, :, pl.ds(tt * tsz, tsz)], datt_in.at[slot],
+            sem.at[9 + slot],
+        )
+
+    def datt_out_dma(tt, slot):
+        return pltpu.make_async_copy(
+            datt_out.at[slot], datt_hbm.at[b, :, pl.ds(tt * tsz, tsz)],
+            sem.at[11 + slot],
+        )
 
     # ---- classifier backward (+ sigmoid when the primal emits scores) ----
     # tile-staged: e_depth tile in, e-cotangent tile out (seeding de0_hbm,
     # the layer loop's carried cotangent buffer); classifier weight grads
     # accumulate across tiles in the loop carry
 
+    e_dma(depth, 0, 0).start()
+
     def cls_tile(tt, carry):
         dclsw, dclsb = carry
+        cur = jax.lax.rem(tt, 2)
+        nxt = jax.lax.rem(tt + 1, 2)
         lo = tt * tsz
-        dma_e = pltpu.make_async_copy(
-            es_hbm.at[b, depth, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
-        )
-        dma_e.start()
-        dma_e.wait()
-        hs = _classifier_forward_T(e_tile[...], cls_w, cls_b)
+        e_dma(depth, tt, cur).wait()
+
+        @pl.when(tt + 1 < n_tiles)
+        def _():
+            e_dma(depth, tt + 1, nxt).start()
+
+        hs = _classifier_forward_T(e_tile[cur], cls_w, cls_b)
         ds = ds_ref[0, 0, pl.ds(lo, tsz)][:, None]  # [tsz, 1]
         if not logits:
             s = jax.nn.sigmoid(hs[-1])
@@ -674,19 +764,13 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         # the native form, and the e-cotangent lands transposed directly
         dclsw_new.insert(0, dclsw[0] + _dot(hs[0], dh))
         dclsb_new.insert(0, dclsb[0] + _bsum(dh))
-        due_tile[...] = _mm_t(cls_w[0], dh)  # [ed, tsz] cotangent of e_depth
-        dma_o = pltpu.make_async_copy(
-            due_tile, de0_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[0]
-        )
-        dma_o.start()
-        dma_o.wait()
-        if with_attention:
-            datt_tile[...] = jnp.zeros((ed, tsz), jnp.float32)
-            dma_z = pltpu.make_async_copy(
-                datt_tile, datt_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[1]
-            )
-            dma_z.start()
-            dma_z.wait()
+
+        @pl.when(tt >= 2)
+        def _():
+            do_dma(tt - 2, cur).wait()
+
+        due_out[cur] = _mm_t(cls_w[0], dh)  # [ed, tsz] cotangent of e_depth
+        do_dma(tt, cur).start()
         return tuple(dclsw_new), tuple(dclsb_new)
 
     cls0 = (
@@ -698,6 +782,9 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         ),
     )
     dcls_w, dcls_b = jax.lax.fori_loop(0, n_tiles, cls_tile, cls0)
+    # drain the last two cotangent-seed stores before the layer loop reads
+    do_dma(n_tiles - 2, (n_tiles - 2) % 2).wait()
+    do_dma(n_tiles - 1, (n_tiles - 1) % 2).wait()
 
     def g0(groups):
         def z(w):
@@ -712,8 +799,13 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     def step(k, carry):
         t = depth - 1 - k
         dX, dx0_acc, G = carry
-        dma_a = pltpu.make_async_copy(agg_hbm.at[b, t], agg_scr, sem.at[1])
+        dma_a = pltpu.make_async_copy(agg_hbm.at[b, t], agg_scr, sem.at[6])
         dma_a.start()
+        e_dma(t, 0, 0).start()
+        di_dma(0, 0).start()
+        if with_attention:
+            att_dma(0, 0).start()
+            datt_in_dma(0, 0).start()
         dma_a.wait()
         x = xs_ref[0, t]
         agg_p = agg_scr[0]
@@ -738,27 +830,27 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             dX_new, dx0_a, G = tc
             (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past,
              g_pastb, g_comb0, g_comb, g_combb) = G
+            cur = jax.lax.rem(tt, 2)
+            nxt = jax.lax.rem(tt + 1, 2)
             lo = tt * tsz
             oh_s, oh_d = _tile_onehots(src_ref, dst_ref, lo, tsz, n)
-            dma_e = pltpu.make_async_copy(
-                es_hbm.at[b, t, :, pl.ds(lo, tsz)], e_tile, sem.at[0]
-            )
-            dma_u = pltpu.make_async_copy(
-                de0_hbm.at[b, :, pl.ds(lo, tsz)], due_tile, sem.at[1]
-            )
-            dma_e.start()
-            dma_u.start()
+            e_dma(t, tt, cur).wait()
+            di_dma(tt, cur).wait()
             att_tT = None
             if with_attention:
-                dma_t = pltpu.make_async_copy(
-                    att_hbm.at[b, :, pl.ds(lo, tsz)], att_scr, sem.at[2]
-                )
-                dma_t.start()
-                dma_t.wait()
-                att_tT = att_scr[...]
-            dma_e.wait()
-            dma_u.wait()
-            e_tT = e_tile[...]
+                att_dma(tt, cur).wait()
+                datt_in_dma(tt, cur).wait()
+                att_tT = att_tile[cur]
+
+            @pl.when(tt + 1 < n_tiles)
+            def _():
+                e_dma(t, tt + 1, nxt).start()
+                di_dma(tt + 1, nxt).start()
+                if with_attention:
+                    att_dma(tt + 1, nxt).start()
+                    datt_in_dma(tt + 1, nxt).start()
+
+            e_tT = e_tile[cur]
             o = _tile_chain(x, x0, e_tT, att_tT, oh_s, oh_d, W, with_attention)
             dp = _scatter_t(oh_d, dA)
             df = _scatter_t(oh_s, dB)
@@ -794,7 +886,7 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             # eu_rest[1] / eu_b[2] arrive pre-transposed ([ed, h2] /
             # [ed, 1]): dWueT is the native form and db3 a matmul against
             # a ones column
-            dueT = dueT + due_tile[...]
+            dueT = dueT + due_in[cur]
             dW3 = _dot(dueT, o["h2"])
             db3 = _dot(dueT, jnp.ones((tsz, 1), jnp.float32))
             dh2 = _scatter_t(dueT, eu_rest[1]) * (o["h2"] > 0)
@@ -807,27 +899,28 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             db1 = _bsum(dh1)
             dx_i = dx_i + _mm_t(dh1, eu0[0])
             dx_j = dx_j + _mm_t(dh1, eu0[1])
-            # cotangent of e_t overwrites this tile's de0_hbm slot
-            due_tile[...] = _mm_t(eu0[2], dh1)
-            dma_uo = pltpu.make_async_copy(
-                due_tile, de0_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[1]
-            )
-            dma_uo.start()
-            dma_uo.wait()
+            # cotangent of e_t overwrites this tile's de0_hbm slot; the
+            # store issued two tiles ago used this out-slot: drain it
+            @pl.when(tt >= 2)
+            def _():
+                do_dma(tt - 2, cur).wait()
+
+            due_out[cur] = _mm_t(eu0[2], dh1)
+            do_dma(tt, cur).start()
             if with_attention:
                 dW1d = _dot(att_tT, dh1)
-                # read-add-write the datt accumulator tile in HBM
-                dma_ai = pltpu.make_async_copy(
-                    datt_hbm.at[b, :, pl.ds(lo, tsz)], datt_tile, sem.at[0]
-                )
-                dma_ai.start()
-                dma_ai.wait()
-                datt_tile[...] = datt_tile[...] + _mm_t(eu0[3], dh1)
-                dma_ao = pltpu.make_async_copy(
-                    datt_tile, datt_hbm.at[b, :, pl.ds(lo, tsz)], sem.at[0]
-                )
-                dma_ao.start()
-                dma_ao.wait()
+                contrib = _mm_t(eu0[3], dh1)
+                # the first processed layer (k == 0) SEEDS the datt
+                # accumulator — the prefetched tile is uninitialized HBM
+                # there, so select (never add) it away
+                val = jnp.where(k == 0, contrib, datt_in[cur] + contrib)
+
+                @pl.when(tt >= 2)
+                def _():
+                    datt_out_dma(tt - 2, cur).wait()
+
+                datt_out[cur] = val
+                datt_out_dma(tt, cur).start()
                 g_eu0_new = (g_eu0[0] + dW1a, g_eu0[1] + dW1b,
                              g_eu0[2] + dW1c, g_eu0[3] + dW1d)
             else:
@@ -855,6 +948,13 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
             0, n_tiles, tile,
             (jnp.zeros((n, nd), jnp.float32), dx0_acc, G),
         )
+        # drain the last two e_t-cotangent (and datt) stores before the
+        # next layer (or the caller) reads de0_hbm / datt_hbm
+        do_dma(n_tiles - 2, (n_tiles - 2) % 2).wait()
+        do_dma(n_tiles - 1, (n_tiles - 1) % 2).wait()
+        if with_attention:
+            datt_out_dma(n_tiles - 2, (n_tiles - 2) % 2).wait()
+            datt_out_dma(n_tiles - 1, (n_tiles - 1) % 2).wait()
         (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past, g_pastb,
          g_comb0, g_comb, g_combb) = G
         G = (g_eu0, g_eu, g_eub, g_fut0, g_fut, g_futb, g_past0, g_past,
@@ -873,8 +973,7 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
 
     dx0_ref[0] = dX + dx0_acc
     # de0_hbm already holds the e_0 cotangent (the layer loop's last
-    # overwrite) and datt_hbm the fully-accumulated attention cotangent —
-    # no final copy-out
+    # overwrite); the blocked datt output accumulated in place
 
     flat_grads = []
     for group in G:
@@ -1040,7 +1139,7 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             grid=(b,),
             in_specs=[
                 _win_spec(n, nd),
-                pl.BlockSpec(memory_space=pl.ANY),  # e0T: DMA'd into e_scr
+                pl.BlockSpec(memory_space=pl.ANY),  # e0T: slab-DMA'd to es
                 pl.BlockSpec(memory_space=pl.ANY),  # attT: DMA'd per tile
                 _win_spec(1, e_cnt),
                 _win_spec(1, e_cnt),
@@ -1059,10 +1158,11 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 jax.ShapeDtypeStruct((b, depth, 2, n, msg_dim), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.VMEM((ed, tsz), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((6,)),
             ],
             interpret=interpret,
         )(x0, e0T, attT, src_row, dst_row, *flat)
@@ -1105,7 +1205,7 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             out_specs=[
                 _win_spec(n, nd),
                 pl.BlockSpec(memory_space=pl.ANY),  # de0T: DMA'd out once
-                pl.BlockSpec(memory_space=pl.ANY),  # dattT: DMA'd out once
+                pl.BlockSpec(memory_space=pl.ANY),  # dattT: RMW per tile
                 *[_const_spec(_g_shape(w)) for w in flat],
             ],
             out_shape=[
@@ -1115,12 +1215,14 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 *[jax.ShapeDtypeStruct(_g_shape(w), jnp.float32) for w in flat],
             ],
             scratch_shapes=[
-                pltpu.VMEM((ed, tsz), jnp.float32),
-                pltpu.VMEM((ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.VMEM((ed, tsz), jnp.float32),
-                pltpu.VMEM((ed, tsz), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((13,)),
             ],
             interpret=interpret,
         )(ds8, xs, es, agg, attT, src_row, dst_row, *flat)
