@@ -105,18 +105,32 @@ _TRAIN_TILED_MAX_NODES = 512
 _TRAIN_TILED_MAX_PRODUCT = 4096 * 256
 _TRAIN_TILE_PRODUCT = 128 * 1024  # target edges-per-tile x nodes
 
+# The 2M/4M-product buckets ((512, 4096) at 16 tiles, (512, 8192) at 32)
+# COMPILE with the fully tile-granular design but win on the ENCODED
+# training form only, and only at 2M (trainer-step arbiter x8 windows:
+# (512, 4096) encoded 18.1 -> 12.3 ms = 1.47x but full-path 0.65x — the
+# in-graph frozen-encoder stage composes badly with the kernel's
+# custom-call boundary; (512, 8192) encoded 40.1 vs 39.2 ms = parity, so
+# it stays XLA). The 2M bucket is admitted only when the caller trains
+# from precomputed encodings (the documented production path).
+_TRAIN_TILED_MAX_PRODUCT_ENC = 4096 * 512
 
-def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
+
+def _train_tiles_for(max_nodes: int, max_edges: int,
+                     encoded: bool = False) -> Optional[int]:
     """Edge-tile count for the fused TRAINING kernels at this bucket
     (1 = monolithic), or None when even the tiled variant's VMEM model is
-    exceeded (callers fall back to XLA autodiff)."""
+    exceeded (callers fall back to XLA autodiff). ``encoded`` admits the
+    bigger buckets that only win when training from precomputed
+    encodings (see the cap notes above)."""
     product = max_edges * max_nodes
     if product <= _FUSED_TRAIN_MAX_EDGE_NODE_PRODUCT:
         return 1
+    max_p = _TRAIN_TILED_MAX_PRODUCT_ENC if encoded else _TRAIN_TILED_MAX_PRODUCT
     if (
         max_edges > _TRAIN_TILED_MAX_EDGES
         or max_nodes > _TRAIN_TILED_MAX_NODES
-        or product > _TRAIN_TILED_MAX_PRODUCT
+        or product > max_p
     ):
         return None
     # at least 2: a 1-tile fall-through would dispatch to the monolithic
@@ -133,10 +147,13 @@ def _train_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
     return tiles if (max_edges // tiles) % 128 == 0 else None
 
 
-def fused_train_supported(max_nodes: int, max_edges: int) -> bool:
+def fused_train_supported(max_nodes: int, max_edges: int,
+                          encoded: bool = False) -> bool:
     """Whether a fused TRAINING kernel pair (monolithic or edge-tiled) fits
-    at this bucket (callers fall back to XLA autodiff above it)."""
-    return _train_tiles_for(max_nodes, max_edges) is not None
+    at this bucket (callers fall back to XLA autodiff above it). Pass
+    ``encoded=True`` when training from precomputed encodings — the
+    2M/4M-product buckets are admitted only on that form."""
+    return _train_tiles_for(max_nodes, max_edges, encoded) is not None
 
 
 def _mm_t(dy, w):
@@ -527,16 +544,24 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     (7.9 -> ~4-7 ms/grad at (256, 4096) x8). The layer-0 seed is one
     whole-slab HBM->HBM DMA. Keeping att/datt as full-E blocked VMEM refs
     instead was measured SLOWER (10.97 ms/grad): the 2x-double-buffered
-    1 MB blocks crowd Mosaic's grid pipelining."""
-    w_refs = rest[:-9]
-    (scores_ref, xs_ref, es_hbm, agg_hbm, e_tile, ue_tile, att_tile,
-     agg_scr, sem) = rest[-9:]
+    1 MB blocks crowd Mosaic's grid pipelining.
+
+    The xs stash also rides in HBM (pl.ANY), LANE-PADDED to 128 (the
+    stash slab DMA needs a 128-aligned trailing dim and node_dim is 96;
+    the pad rows are stash-only — compute stays at node_dim). A blocked
+    xs ref cost 2x its size in VMEM, the allocation that pushed the
+    (512, 4096) @ 16-tile backward over the scoped limit."""
+    w_refs = rest[:-10]
+    (scores_ref, xs_hbm, es_hbm, agg_hbm, e_tile, ue_tile, att_tile,
+     x_out, agg_scr, sem) = rest[-10:]
     W = _unpack(meta, tuple(r[:] for r in w_refs))
     (_, _, _, _, fut_rest, fut_b, _, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = W
     b = pl.program_id(0)
     x0 = x0_ref[0]
     n = x0.shape[0]
+    nd = x0.shape[1]
+    nd_pad = x_out.shape[1]
     e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
     msg_dim = comb0[0].shape[0]
@@ -567,10 +592,13 @@ def _train_fwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         )
 
     def layer(t, x):
-        xs_ref[0, t] = x
+        x_out[...] = jnp.pad(x, ((0, 0), (0, nd_pad - nd)))
+        dma_x = pltpu.make_async_copy(x_out, xs_hbm.at[b, t], sem.at[6])
+        dma_x.start()
         e_dma(t, 0, 0).start()
         if with_attention:
             att_dma(0, 0).start()
+        dma_x.wait()
 
         def tile(tt, acc):
             agg_p, agg_f = acc
@@ -677,7 +705,7 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     w_refs = rest[:n_w]
     out_refs = rest[n_w : n_w + 3 + n_w]
     (e_tile, due_in, due_out, att_tile, datt_in, datt_out,
-     agg_scr, sem) = rest[n_w + 3 + n_w :]
+     x0_scr, x_scr, agg_scr, sem) = rest[n_w + 3 + n_w :]
     dx0_ref, de0_hbm, datt_hbm = out_refs[:3]
     wgrad_refs = out_refs[3:]
 
@@ -685,11 +713,18 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
     (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
      comb0, comb_rest, comb_b, cls_w, cls_b) = W
     b = pl.program_id(0)
-    x0 = xs_ref[0, 0]
+    nd = dx0_ref.shape[2]  # xs slabs are lane-padded past node_dim
+    # the xs stash rides in HBM (a blocked [depth, N, nd] ref costs 2x its
+    # size through grid double-buffering — the allocation that pushed the
+    # (512, 4096) @ 16-tile backward over scoped VMEM); x0 loads once,
+    # each layer's x loads at step start
+    dma_x0 = pltpu.make_async_copy(xs_ref.at[b, 0], x0_scr, sem.at[13])
+    dma_x0.start()
+    dma_x0.wait()
+    x0 = x0_scr[:, :nd]
     n = x0.shape[0]
     e_total = src_ref.shape[-1]
     tsz = e_total // n_tiles
-    nd = x0.shape[1]
     ed = e_tile.shape[1]  # tiles ride transposed [2, ed, tsz]
 
     # double-buffered tile DMAs (see the forward's docstring): e- and
@@ -800,14 +835,17 @@ def _train_bwd_kernel_tiled(meta, depth, with_attention, logits, n_tiles,
         t = depth - 1 - k
         dX, dx0_acc, G = carry
         dma_a = pltpu.make_async_copy(agg_hbm.at[b, t], agg_scr, sem.at[6])
+        dma_x = pltpu.make_async_copy(xs_ref.at[b, t], x_scr, sem.at[13])
         dma_a.start()
+        dma_x.start()
         e_dma(t, 0, 0).start()
         di_dma(0, 0).start()
         if with_attention:
             att_dma(0, 0).start()
             datt_in_dma(0, 0).start()
         dma_a.wait()
-        x = xs_ref[0, t]
+        dma_x.wait()
+        x = x_scr[:, :nd]
         agg_p = agg_scr[0]
         agg_f = agg_scr[1]
 
@@ -1116,18 +1154,19 @@ def _get_vjp(meta_key, meta, depth, with_attention, logits, interpret):
 
 
 def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
-                   msg_dim, interpret):
+                   msg_dim, node_dim, interpret):
     """Tiled-variant custom_vjp: inputs are [B, 1, E] masked index rows
     (one-hot tiles are generated in-kernel); the full-E residuals live in
     HBM stash arrays between forward and backward. Edge-attr tensors
     (e0, att, the e_t stashes, de0, datt) ride TRANSPOSED [ed, E]."""
     key = ("tiled", meta_key, depth, with_attention, logits, n_tiles,
-           msg_dim, interpret)
+           msg_dim, node_dim, interpret)
     if key in _VJP_CACHE:
         return _VJP_CACHE[key]
 
     def _fwd(x0, e0T, attT, src_row, dst_row, flat):
         b, n, nd = x0.shape
+        nd_pad = -(-nd // 128) * 128  # xs stash slabs need 128-lane DMAs
         ed, e_cnt = e0T.shape[1], e0T.shape[2]
         tsz = e_cnt // n_tiles
         kernel = functools.partial(
@@ -1147,13 +1186,13 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             ],
             out_specs=[
                 _win_spec(8, e_cnt),
-                _win_spec(depth, n, nd),
+                pl.BlockSpec(memory_space=pl.ANY),  # xs: slab-DMA'd stash
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, 8, e_cnt), jnp.float32),
-                jax.ShapeDtypeStruct((b, depth, n, nd), jnp.float32),
+                jax.ShapeDtypeStruct((b, depth, n, nd_pad), jnp.float32),
                 jax.ShapeDtypeStruct((b, depth + 1, ed, e_cnt), jnp.float32),
                 jax.ShapeDtypeStruct((b, depth, 2, n, msg_dim), jnp.float32),
             ],
@@ -1161,8 +1200,9 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((n, nd_pad), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.SemaphoreType.DMA((7,)),
             ],
             interpret=interpret,
         )(x0, e0T, attT, src_row, dst_row, *flat)
@@ -1179,7 +1219,8 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
 
     def bwd_rule(res, ds):
         xs, es, agg, attT, src_row, dst_row, flat = res
-        b, _, n, nd = xs.shape
+        b, _, n, nd_pad = xs.shape
+        nd = node_dim
         ed, e_cnt = es.shape[2], es.shape[3]
         tsz = e_cnt // n_tiles
         meta2 = dict(meta)
@@ -1194,7 +1235,7 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
             grid=(b,),
             in_specs=[
                 _win_spec(8, e_cnt),
-                _win_spec(xs.shape[1], n, nd),
+                pl.BlockSpec(memory_space=pl.ANY),  # xs: DMA'd per layer
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),  # attT: DMA'd per tile
@@ -1221,8 +1262,10 @@ def _get_vjp_tiled(meta_key, meta, depth, with_attention, logits, n_tiles,
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
                 pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((n, nd_pad), jnp.float32),
+                pltpu.VMEM((n, nd_pad), jnp.float32),
                 pltpu.VMEM((2, n, msg_dim), jnp.float32),
-                pltpu.SemaphoreType.DMA((13,)),
+                pltpu.SemaphoreType.DMA((14,)),
             ],
             interpret=interpret,
         )(ds8, xs, es, agg, attT, src_row, dst_row, *flat)
@@ -1309,6 +1352,8 @@ def fused_training_scores(
     )
     variables = {"params": params, **variables_extra}
     is_pose = type(model).__name__ == "PoseGNN"
+    # precomputed-encoding training admits the bigger tiled buckets
+    from_encodings = (not is_pose) and encodings is not None
     if is_pose:
         x0, e0 = jax.vmap(
             lambda g: model.apply(variables, g, method=model.pre_message_passing)
@@ -1343,7 +1388,10 @@ def fused_training_scores(
     b, n, _ = x0.shape
     e_cnt = batch.edge_src.shape[1]
     meta_key = tuple(sorted(meta.items()))
-    n_tiles = force_tiles if force_tiles is not None else _train_tiles_for(n, e_cnt)
+    if force_tiles is not None:
+        n_tiles = force_tiles
+    else:
+        n_tiles = _train_tiles_for(n, e_cnt, encoded=from_encodings)
     assert n_tiles is not None and e_cnt % n_tiles == 0, (n, e_cnt, n_tiles)
     if n_tiles > 1:
         # tiled path: one-hot tiles are generated in-kernel (an
@@ -1359,7 +1407,7 @@ def fused_training_scores(
         msg_dim = _unpack(meta, flat)[9][0].shape[0]
         fn = _get_vjp_tiled(
             meta_key, meta, model.depth, with_attention, logits, n_tiles,
-            msg_dim, interpret,
+            msg_dim, model.node_dim, interpret,
         )
         return fn(x0, e0T, attT, src_row, dst_row, flat)
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, e_cnt, n), 2)

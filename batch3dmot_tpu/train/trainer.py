@@ -171,7 +171,8 @@ class GNNTrainer:
         from batch3dmot_tpu.ops.pallas_mp_train import fused_train_supported as fused_supported
 
         if self.fused and fused_supported(
-            graph_for_guard.pose.shape[1], graph_for_guard.edge_src.shape[1]
+            graph_for_guard.pose.shape[1], graph_for_guard.edge_src.shape[1],
+            encoded=isinstance(batch, tuple),
         ):
             from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
 

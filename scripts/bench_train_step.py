@@ -69,6 +69,9 @@ def main(trainval_scale=False):
             modality_dropout=0.2,
         )
         window_len, buckets = 5, [(256, 4096)]
+        if os.environ.get("B3D_BENCH_BUCKET"):
+            mn_s, me_s = os.environ["B3D_BENCH_BUCKET"].split(",")
+            buckets = [(int(mn_s), int(me_s))]
     else:
         cfg = GraphConstructionConfig(top_knn_nodes=10)
         scene = make_synthetic_scene(

@@ -73,13 +73,36 @@ def main():
         bce = -(lab * jnp.log(s) + (1 - lab) * jnp.log(1 - s))
         return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
+    # B3D_GRAD_CHECK_ENCODED=1 exercises the precomputed-encoding form —
+    # the only form admitted at the 2M-product (512, 4096) bucket
+    encoded = os.environ.get("B3D_GRAD_CHECK_ENCODED") == "1"
+    enc = None
+    if encoded:
+        import jax.numpy as jnp2
+
+        enc = (
+            jnp2.zeros((B, mn, 96)), jnp2.zeros((B, mn, 256)),
+            jnp2.zeros((B, mn, 256)), jnp2.ones((B, mn), bool),
+            jnp2.ones((B, mn), bool),
+        )
+
     def f_xla(p):
         vs = {"params": p, **variables}
-        scores = jax.vmap(lambda g: model.apply(vs, g)[0])(batch)
+        if encoded:
+            scores = jax.vmap(
+                lambda g, xi, pn, rn, lp, rp: model.apply(
+                    vs, g, xi, pn, rn, lp, rp,
+                    method=model.forward_from_encodings,
+                )[0]
+            )(batch, *enc)
+        else:
+            scores = jax.vmap(lambda g: model.apply(vs, g)[0])(batch)
         return loss_from_scores(scores)
 
     def f_fused(p):
-        scores = fused_training_scores(model, variables, p, batch)
+        scores = fused_training_scores(
+            model, variables, p, batch, encodings=enc
+        )
         return loss_from_scores(scores)
 
     print(f"bucket ({mn},{me}) x{B}", flush=True)

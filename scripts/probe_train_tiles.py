@@ -5,7 +5,12 @@ the VMEM model that picked 8 tiles at the (256, 4096) bucket has headroom
 for bigger tiles — and the step is DMA-latency-bound (serialized
 start/wait per tile), so fewer, bigger tiles mean fewer round trips.
 
-Run: python scripts/probe_train_tiles.py [tiles ...]
+Also probes coverage EXPANSION: with nothing full-E in VMEM the model is
+tile-bound, not E-bound, so buckets beyond the shipped product cap
+((512, 4096), (512, 8192)) may compile — run them here before raising
+the guard.
+
+Run: python scripts/probe_train_tiles.py [mn me] [tiles ...]
 """
 
 import os
@@ -30,8 +35,12 @@ from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
 
 
 def main():
-    tile_counts = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
-    mn, me, B = 256, 4096, 8
+    args = [int(a) for a in sys.argv[1:]]
+    if len(args) >= 2 and args[1] >= 256:  # bucket given as leading pair
+        (mn, me), tile_counts = args[:2], args[2:] or [8]
+    else:
+        (mn, me), tile_counts = (256, 4096), (args or [2, 4, 8])
+    B = 8
     cfg = GraphConstructionConfig(top_knn_nodes=20)
     scene = make_synthetic_scene(
         seed=0, num_frames=12, num_tracks=40, with_modalities=True,
@@ -62,10 +71,20 @@ def main():
     )
 
     for tiles in tile_counts:
-        def loss(p):
-            scores = fused_training_scores(
-                model, variables, p, batch, encodings=enc, force_tiles=tiles
-            )
+        def loss(p, tiles=tiles):
+            if tiles == 0:  # XLA-autodiff baseline (same encoded forward)
+                vs = {"params": p, **variables}
+                scores, _ = jax.vmap(
+                    lambda g, xi, pn, rn, lp, rp: model.apply(
+                        vs, g, xi, pn, rn, lp, rp,
+                        method=model.forward_from_encodings,
+                    )
+                )(batch, *enc)
+            else:
+                scores = fused_training_scores(
+                    model, variables, p, batch, encodings=enc,
+                    force_tiles=tiles,
+                )
             return jnp.sum(
                 jnp.where(batch.edge_mask, scores * batch.edge_weight, 0.0)
             )
@@ -74,7 +93,12 @@ def main():
             @jax.jit
             def run(p):
                 def body(c, _):
-                    l, g = jax.value_and_grad(loss)(p)
+                    # perturb params by the carry so the grad is NOT
+                    # loop-invariant — XLA hoists invariant computations
+                    # out of the scan (measured: the XLA-autodiff body
+                    # timed ~0 without this)
+                    pp = jax.tree.map(lambda x: x + c * 1e-30, p)
+                    l, g = jax.value_and_grad(loss)(pp)
                     return c + l + g["edge_classifier"]["dense_0"]["bias"][0], None
 
                 out, _ = jax.lax.scan(body, 0.0, None, length=K)
@@ -94,7 +118,8 @@ def main():
                     best = min(best, time.perf_counter() - t0)
                 ts[K] = best
             per = (ts[14] - ts[2]) / 12
-            print(f"tiles {tiles:3d} (tsz {me // tiles}): {per * 1e3:.2f} ms/grad")
+            desc = "XLA autodiff" if tiles == 0 else f"tsz {me // tiles}"
+            print(f"tiles {tiles:3d} ({desc}): {per * 1e3:.2f} ms/grad")
         except Exception as e:  # noqa: BLE001 — compiler OOMs expected at big tiles
             print(f"tiles {tiles:3d}: FAILED {type(e).__name__}: {str(e)[:200]}")
 

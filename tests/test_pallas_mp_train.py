@@ -110,7 +110,14 @@ def test_fused_train_guard_coverage():
     assert _train_tiles_for(256, 2048) == 4
     assert _train_tiles_for(256, 4096) == 8  # trainval L=5 training bucket
     assert fused_train_supported(256, 4096)
-    assert not fused_train_supported(512, 8192)  # beyond the VMEM model
+    # the 2M-product bucket wins only on the precomputed-encoding
+    # training form (trainer-step arbiter, docs/RESULTS.md) — admitted
+    # via encoded=True only; (512, 8192) measured parity and stays XLA
+    # on both forms
+    assert not fused_train_supported(512, 4096)
+    assert _train_tiles_for(512, 4096, encoded=True) == 16
+    assert not fused_train_supported(512, 8192)
+    assert not fused_train_supported(512, 8192, encoded=True)
 
 
 def _grad_compare_tiled(model, batch, n_tiles, desc):
