@@ -397,3 +397,64 @@ def test_uniform_bucket_outlier_guard():
     assert uniform_bucket(homogeneous, DEFAULT_BUCKETS) == ((64, 256),)
     with_outlier = homogeneous + [(500, 16000)]
     assert uniform_bucket(with_outlier, DEFAULT_BUCKETS) == tuple(DEFAULT_BUCKETS)
+
+
+def test_fused_dispatch_encoded_form_gates_big_buckets(monkeypatch):
+    """The trainer admits the 2M-product bucket to the fused kernels ONLY
+    on the precomputed-encoding batch form (full-modality batches fall
+    back to XLA there — hardware arbiter, docs/RESULTS.md). Wiring test:
+    the guard must receive encoded=True exactly for tuple batches."""
+    import jax
+
+    from batch3dmot_tpu.ops import pallas_mp_train
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scene = make_synthetic_scene(
+        seed=1, num_frames=6, num_tracks=5, with_modalities=True,
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+    example = to_padded(windows[0], *BUCKETS[0])
+    model = MultimodalGNN(depth=2)
+    tr = GNNTrainer(model, example, GNNConfig(batch_size=1), fused=True)
+
+    seen = []
+    real_supported = pallas_mp_train.fused_train_supported
+
+    def spy_supported(mn, me, encoded=False):
+        seen.append((mn, me, encoded))
+        return real_supported(mn, me, encoded)
+
+    calls = []
+
+    def fake_scores(model_, extra, params, graph, encodings=None, **kw):
+        calls.append(encodings is not None)
+        b, e = graph.edge_src.shape
+        return jnp.zeros((b, e), jnp.float32)
+
+    monkeypatch.setattr(
+        pallas_mp_train, "fused_train_supported", spy_supported
+    )
+    monkeypatch.setattr(
+        pallas_mp_train, "fused_training_scores", fake_scores
+    )
+
+    big = to_padded(windows[0], 512, 4096)
+    batch = jax.tree.map(lambda x: x[None], big)
+    enc = (
+        jnp.zeros((1, 512, 96)), jnp.zeros((1, 512, 256)),
+        jnp.zeros((1, 512, 256)), jnp.ones((1, 512), bool),
+        jnp.ones((1, 512), bool),
+    )
+
+    # encoded (tuple) batch at the 2M bucket -> fused path, encoded=True
+    scores = tr._apply(tr.state.params, tr.state.extra_variables, (batch, enc))
+    assert seen[-1] == (512, 4096, True)
+    assert calls and calls[-1] is True
+    assert scores.shape == (1, 4096)
+
+    # full-modality batch at the same bucket -> guard sees encoded=False
+    # (and falls back to XLA: fake_scores is NOT called again)
+    n_calls = len(calls)
+    tr._apply(tr.state.params, tr.state.extra_variables, batch)
+    assert seen[-1] == (512, 4096, False)
+    assert len(calls) == n_calls
