@@ -71,7 +71,10 @@ _FUSED_MAX_EDGE_NODE_PRODUCT = 1024 * 128
 # (512, 8192) fits at SHORT (<= 8-window) grids (1.71x at 16 tiles) but
 # still fails the compiler at 40-window grids — Mosaic pipelines deeper on
 # longer grids — so 4M-product buckets are gated on the caller's grid
-# length and everything above the long-grid cap falls back to XLA.
+# length. Beyond THAT, the HBM-STAGED variant (_mp_kernel_tiled_hbm,
+# round 3) covers (512, 8192) at ANY grid: 2.10x XLA at 40 windows
+# (22.25 vs 46.67 ms), max|err| in the known hardware band. Only
+# >4M-product shapes fall back to XLA now.
 _TILED_MAX_EDGES = 8192
 _TILED_MAX_NODES = 512
 _TILED_MAX_PRODUCT = 2048 * 256  # per-tile-formula regime (grid-robust)
@@ -108,12 +111,37 @@ def _tiles_for(max_nodes: int, max_edges: int,
     return tiles if (max_edges // tiles) % 8 == 0 else None
 
 
+def _hbm_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
+    """Tile count for the HBM-STAGED tiled kernel — the coverage extension
+    past the VMEM-resident tiled variant's grid-sensitive caps (round 3).
+    The evolving edge state, e0 and att all ride in HBM in the transposed
+    [ed, E] layout (the tiled TRAINING kernels' design,
+    ops/pallas_mp_train.py) and are DMA'd per 512-edge tile through
+    double-buffered scratches, so the VMEM model is tile-bound and
+    grid-length-ROBUST: (512, 8192) compiles and wins at 40-window grids
+    where the VMEM-resident variant fails the compiler. Only used where
+    the VMEM-resident variant (faster when it fits — no DMA round trips)
+    is unavailable."""
+    if max_edges > _TILED_MAX_EDGES or max_nodes > _TILED_MAX_NODES:
+        return None
+    if max_edges * max_nodes > _TILED_MAX_PRODUCT_SHORT:
+        return None
+    tiles = max_edges // 512
+    if tiles < 2 or max_edges % tiles or (max_edges // tiles) % 128:
+        return None
+    return tiles
+
+
 def fused_supported(max_nodes: int, max_edges: int,
                     grid: Optional[int] = None) -> bool:
-    """Whether a fused MP kernel (single-shot or edge-tiled) fits at this
-    bucket; pass the window-batch length as ``grid`` when known (the
-    biggest buckets fit only at short grids)."""
-    return _tiles_for(max_nodes, max_edges, grid) is not None
+    """Whether a fused MP kernel (single-shot, edge-tiled or HBM-staged)
+    fits at this bucket; pass the window-batch length as ``grid`` when
+    known (near-limit VMEM-resident buckets are grid-length-sensitive;
+    the HBM-staged variant covers the rest up to (512, 8192))."""
+    return (
+        _tiles_for(max_nodes, max_edges, grid) is not None
+        or _hbm_tiles_for(max_nodes, max_edges) is not None
+    )
 
 
 def _split_rows(w, sizes):
@@ -383,6 +411,167 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
     out_ref[0] = jnp.broadcast_to(h[:, 0][None, :], (8, h.shape[0]))
 
 
+def _mp_kernel_tiled_hbm(meta, depth, with_attention, n_tiles, x0_ref,
+                         e0_hbm, att_hbm, src_ref, dst_ref, *rest):
+    """HBM-staged tiled variant (see ``_hbm_tiles_for``): nothing full-E
+    touches VMEM. The evolving edge state lives in the ``ework`` HBM
+    buffer (an extra discarded output) in the TRANSPOSED [ed, E] layout —
+    the 128-aligned tile slice rides the trailing edge dim — seeded from
+    e0T by one slab DMA and updated in place per tile (safe: a tile's new
+    rows are read only by the next layer, and the layer-end drains order
+    the stores before them). Tile DMAs are double-buffered through 2-slot
+    scratches exactly like the tiled training kernels; the ue-producing
+    edge-update layer and its bias arrive pre-transposed ([ed, h2] /
+    [ed, 1]) so ueT lands store-ready without any in-kernel transpose."""
+    w_refs = rest[:-6]
+    out_ref, ework, e_tile, ue_tile, att_tile, sem = rest[-6:]
+    (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest, past_b,
+     comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
+        meta, tuple(r[:] for r in w_refs)
+    )
+    b = pl.program_id(0)
+    x0 = x0_ref[0]
+    n = x0.shape[0]
+    e_total = src_ref.shape[-1]
+    tsz = e_total // n_tiles
+    msg_dim = comb0[0].shape[0]
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    tdot = lambda a, b_: jax.lax.dot_general(
+        a, b_, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    rdot = lambda a, b_: jax.lax.dot_general(
+        a, b_, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    dma_seed = pltpu.make_async_copy(e0_hbm.at[b], ework.at[b], sem.at[6])
+    dma_seed.start()
+    dma_seed.wait()
+
+    def e_dma(tt, slot):
+        return pltpu.make_async_copy(
+            ework.at[b, :, pl.ds(tt * tsz, tsz)], e_tile.at[slot],
+            sem.at[slot],
+        )
+
+    def ue_dma(tt, slot):
+        return pltpu.make_async_copy(
+            ue_tile.at[slot], ework.at[b, :, pl.ds(tt * tsz, tsz)],
+            sem.at[2 + slot],
+        )
+
+    def att_dma(tt, slot):
+        return pltpu.make_async_copy(
+            att_hbm.at[b, :, pl.ds(tt * tsz, tsz)], att_tile.at[slot],
+            sem.at[4 + slot],
+        )
+
+    def layer(_, x):
+        e_dma(0, 0).start()
+        if with_attention:
+            att_dma(0, 0).start()
+
+        def tile(tt, acc):
+            agg_p, agg_f = acc
+            cur = jax.lax.rem(tt, 2)
+            nxt = jax.lax.rem(tt + 1, 2)
+            lo = tt * tsz
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, tsz), 0)
+            oh_s = (iota == src_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
+            oh_d = (iota == dst_ref[0, 0:1, pl.ds(lo, tsz)]).astype(jnp.float32)
+            e_dma(tt, cur).wait()
+            if with_attention:
+                att_dma(tt, cur).wait()
+
+            @pl.when(tt + 1 < n_tiles)
+            def _():
+                e_dma(tt + 1, nxt).start()
+                if with_attention:
+                    att_dma(tt + 1, nxt).start()
+
+            x_j = tdot(oh_s, x)
+            x_i = tdot(oh_d, x)
+            init_j = tdot(oh_s, x0)
+            init_i = tdot(oh_d, x0)
+            h = dot(x_i, eu0[0]) + dot(x_j, eu0[1]) + tdot(e_tile[cur], eu0[2])
+            if with_attention:
+                h = h + tdot(att_tile[cur], eu0[3])
+            h = jnp.maximum(h + eu_b[0], 0.0)
+            for w, bi in zip(eu_rest[:-1], eu_b[1:-1]):
+                h = jnp.maximum(dot(h, w) + bi, 0.0)
+            # eu_rest[-1] / eu_b[-1] staged transposed: ueT is store-ready
+            ueT = rdot(eu_rest[-1], h) + eu_b[-1]
+
+            f = jnp.maximum(
+                dot(x_i, fut0[0]) + tdot(ueT, fut0[1]) + dot(init_i, fut0[2])
+                + fut_b[0], 0.0,
+            )
+            for w, bi in zip(fut_rest, fut_b[1:]):
+                f = dot(f, w) + bi
+                if w is not fut_rest[-1]:
+                    f = jnp.maximum(f, 0.0)
+
+            p = jnp.maximum(
+                dot(x_j, past0[0]) + tdot(ueT, past0[1]) + dot(init_j, past0[2])
+                + past_b[0], 0.0,
+            )
+            for w, bi in zip(past_rest, past_b[1:]):
+                p = dot(p, w) + bi
+                if w is not past_rest[-1]:
+                    p = jnp.maximum(p, 0.0)
+
+            @pl.when(tt >= 2)
+            def _():
+                ue_dma(tt - 2, cur).wait()
+
+            ue_tile[cur] = ueT
+            ue_dma(tt, cur).start()
+            return agg_p + dot(oh_d, p), agg_f + dot(oh_s, f)
+
+        agg_p, agg_f = jax.lax.fori_loop(
+            0, n_tiles, tile,
+            (jnp.zeros((n, msg_dim), jnp.float32),
+             jnp.zeros((n, msg_dim), jnp.float32)),
+        )
+        ue_dma(n_tiles - 2, (n_tiles - 2) % 2).wait()
+        ue_dma(n_tiles - 1, (n_tiles - 1) % 2).wait()
+        c = jnp.maximum(dot(agg_p, comb0[0]) + dot(agg_f, comb0[1]) + comb_b[0], 0.0)
+        for w, bi in zip(comb_rest, comb_b[1:]):
+            c = dot(c, w) + bi
+            if w is not comb_rest[-1]:
+                c = jnp.maximum(c, 0.0)
+        return c
+
+    jax.lax.fori_loop(0, depth, layer, x0)
+
+    # classifier per edge tile (transposed first layer)
+    e_dma(0, 0).start()
+
+    def cls_tile(tt, _):
+        cur = jax.lax.rem(tt, 2)
+        nxt = jax.lax.rem(tt + 1, 2)
+        lo = tt * tsz
+        e_dma(tt, cur).wait()
+
+        @pl.when(tt + 1 < n_tiles)
+        def _():
+            e_dma(tt + 1, nxt).start()
+
+        h = tdot(e_tile[cur], cls_w[0]) + cls_b[0]
+        if len(cls_w) > 1:
+            h = jnp.maximum(h, 0.0)
+        for i in range(1, len(cls_w)):
+            h = dot(h, cls_w[i]) + cls_b[i]
+            if i < len(cls_w) - 1:
+                h = jnp.maximum(h, 0.0)
+        out_ref[0, :, pl.ds(lo, tsz)] = jnp.broadcast_to(
+            h[:, 0][None, :], (8, tsz)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, cls_tile, 0)
+
+
 def fused_mp_scores(
     x0: jax.Array,  # [B, N, node_dim] encoded nodes
     e0: jax.Array,  # [B, E, edge_dim] encoded edge attrs
@@ -396,6 +585,7 @@ def fused_mp_scores(
     logits: bool = False,
     interpret: bool = False,
     force_tiles: Optional[int] = None,
+    force_variant: Optional[str] = None,
 ) -> jax.Array:
     """Scores [B, E] from the fused kernel (sigmoid unless ``logits``).
 
@@ -403,7 +593,17 @@ def fused_mp_scores(
     ``force_tiles`` overrides the VMEM-model tile choice (tests)."""
     b, n, _ = x0.shape
     e = src.shape[1]
-    n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, b)
+    if force_variant == "hbm":
+        n_tiles = force_tiles if force_tiles is not None else _hbm_tiles_for(n, e)
+        variant = "hbm"
+    else:
+        n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, b)
+        variant = "vmem"
+        if n_tiles is None and force_tiles is None:
+            # VMEM-resident variants don't fit (big bucket / long grid):
+            # fall through to the HBM-staged kernel
+            n_tiles = _hbm_tiles_for(n, e)
+            variant = "hbm"
     assert n_tiles is not None and e % n_tiles == 0, (n, e, n_tiles)
     with_attention = att is not None
     att_in = att if with_attention else jnp.zeros_like(e0)
@@ -411,6 +611,62 @@ def fused_mp_scores(
     win_spec = lambda *tail: pl.BlockSpec(
         (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
     )
+    if variant == "hbm":
+        (eu0, eu_rest, eu_b, fut0, fut_rest, fut_b, past0, past_rest,
+         past_b, comb0, comb_rest, comb_b, cls_w, cls_b) = _unpack(
+            meta, flat_weights
+        )
+        flat_t = (
+            *eu0, *eu_rest[:-1], eu_rest[-1].T, *eu_b[:-1], eu_b[-1].T,
+            *fut0, *fut_rest, *fut_b, *past0, *past_rest, *past_b,
+            *comb0, *comb_rest, *comb_b, *cls_w, *cls_b,
+        )
+        e0T = e0.transpose(0, 2, 1)
+        attT = att_in.transpose(0, 2, 1)
+        ed = e0T.shape[1]
+        tsz = e // n_tiles
+        neg = jnp.int32(-1)
+        src_row = jnp.where(edge_mask, src, neg).astype(jnp.int32)[:, None, :]
+        dst_row = jnp.where(edge_mask, dst, neg).astype(jnp.int32)[:, None, :]
+        kernel = functools.partial(
+            _mp_kernel_tiled_hbm, meta, depth, with_attention, n_tiles
+        )
+        out, _ = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                win_spec(n, x0.shape[2]),
+                pl.BlockSpec(memory_space=pl.ANY),  # e0T: slab-DMA'd
+                pl.BlockSpec(memory_space=pl.ANY),  # attT: DMA'd per tile
+                win_spec(1, e),
+                win_spec(1, e),
+                *[
+                    pl.BlockSpec(
+                        w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                    )
+                    for w in flat_t
+                ],
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 8, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # ework: HBM edge state
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, 8, e), jnp.float32),
+                jax.ShapeDtypeStruct((b, ed, e), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.VMEM((2, ed, tsz), jnp.float32),
+                pltpu.SemaphoreType.DMA((7,)),
+            ],
+            interpret=interpret,
+        )(x0, e0T, attT, src_row, dst_row, *flat_t)
+        out = out[:, 0, :]
+        return out if logits else jax.nn.sigmoid(out)
     if n_tiles == 1:
         kernel = functools.partial(_mp_kernel, meta, depth, with_attention)
         scratch_shapes = []
@@ -461,7 +717,7 @@ def fused_mp_scores(
 
 def fused_scores_from_encodings(
     model, variables, batch, x_img, pn, rn, lp, rp, interpret: bool = False,
-    force_tiles: Optional[int] = None,
+    force_tiles: Optional[int] = None, force_variant: Optional[str] = None,
 ) -> jax.Array:
     """Drop-in fused-kernel replacement for the batched
     ``forward_from_encodings`` score path: flax modules compute the pre-MP
@@ -485,6 +741,7 @@ def fused_scores_from_encodings(
         x0, e0, att,
         batch.edge_src, batch.edge_dst, batch.edge_mask,
         flat, meta, model.depth, interpret=interpret, force_tiles=force_tiles,
+        force_variant=force_variant,
     )
 
 

@@ -226,8 +226,17 @@ def test_tiles_for_vmem_model():
     assert _tiles_for(512, 8192, grid=40) is None
     assert _tiles_for(512, 8192, grid=8) == 16
     assert _tiles_for(1024, 32768) is None
-    assert fused_supported(256, 4096) and not fused_supported(512, 8192)
+    # the HBM-staged variant (round 3) covers (512, 8192) at ANY grid —
+    # the VMEM-resident variants stay preferred where they fit
+    from batch3dmot_tpu.ops.pallas_mp import _hbm_tiles_for
+
+    assert _hbm_tiles_for(512, 8192) == 16
+    assert _hbm_tiles_for(1024, 8192) is None
+    assert _hbm_tiles_for(512, 16384) is None
+    assert fused_supported(256, 4096) and fused_supported(512, 8192)
+    assert fused_supported(512, 8192, 40)
     assert fused_supported(512, 8192, 8)
+    assert not fused_supported(1024, 16384)
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
@@ -255,6 +264,33 @@ def test_fused_kernel_tiled_matches_xla(setup):
                 np.asarray(ref_scores)[k, : w.num_edges],
                 rtol=2e-4, atol=2e-5,
             )
+
+
+def test_fused_kernel_hbm_matches_xla(setup):
+    """The HBM-staged tiled variant (forced at a small bucket) must match
+    the XLA forward like the VMEM-resident variants do — it is the
+    production path for (512, 8192) windows at long grids."""
+    windows, batch = setup
+    model = MultimodalGNN(depth=3)
+    variables = jax.jit(model.init)(
+        jax.random.key(2), jax.tree.map(lambda x: x[0], batch)
+    )
+    xi, pn, rn, lp, rp = _encodings(model, variables, batch)
+    ref_scores, _ = jax.vmap(
+        lambda g, a, b, c, d, e: model.apply(
+            variables, g, a, b, c, d, e, method=model.forward_from_encodings
+        )
+    )(batch, xi, pn, rn, lp, rp)
+    fused = fused_scores_from_encodings(
+        model, variables, batch, xi, pn, rn, lp, rp,
+        interpret=True, force_tiles=4, force_variant="hbm",
+    )
+    for k, w in enumerate(windows):
+        np.testing.assert_allclose(
+            np.asarray(fused)[k, : w.num_edges],
+            np.asarray(ref_scores)[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
 
 
 def test_fused_kernel_all_masked_window(setup):
