@@ -390,11 +390,14 @@ def test_fused_kernel_randomized_configs():
         )(batch, xi, pn, rn, lp, rp)
         tile_opts = [1] + [t for t in (2, 4) if me % t == 0 and (me // t) % 8 == 0]
         tiles = tile_opts[int(rng.integers(0, len(tile_opts)))]
+        # a third of the trials also exercise the HBM-staged variant
+        variant = "hbm" if tiles > 1 and rng.integers(0, 3) == 0 else None
         fused = fused_scores_from_encodings(
             model, variables, batch, xi, pn, rn, lp, rp,
             interpret=True, force_tiles=tiles,
+            force_variant=variant,
         )
-        desc = f"trial {trial}: tracks={tracks} L={L} knn={knn} depth={depth} mods={mods} bucket=({mn},{me}) tiles={tiles}"
+        desc = f"trial {trial}: tracks={tracks} L={L} knn={knn} depth={depth} mods={mods} bucket=({mn},{me}) tiles={tiles} variant={variant}"
         for k, w in enumerate(windows):
             np.testing.assert_allclose(
                 np.asarray(fused)[k, : w.num_edges],
