@@ -172,6 +172,10 @@ class DeviceScenePipeline:
                     model, variables, batch,
                     x_img[det], pn[det], rn[det], lp[det], rp[det],
                     interpret=self._interpret,
+                    # the grouped dispatch vmaps S scenes over this fn: the
+                    # variant choice must see the EFFECTIVE S x W grid the
+                    # guard above was checked with
+                    grid=grid_len,
                 )
             else:
                 def one(w):

@@ -411,6 +411,19 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
     out_ref[0] = jnp.broadcast_to(h[:, 0][None, :], (8, h.shape[0]))
 
 
+def _select_variant(n, e, grid, force_tiles=None, force_variant=None):
+    """(n_tiles, variant) for the fused kernel dispatch: the VMEM-resident
+    variants wherever their grid-sensitive model fits, the HBM-staged
+    kernel beyond (must mirror ``fused_supported``)."""
+    if force_variant == "hbm":
+        tiles = force_tiles if force_tiles is not None else _hbm_tiles_for(n, e)
+        return tiles, "hbm"
+    tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, grid)
+    if tiles is None and force_tiles is None:
+        return _hbm_tiles_for(n, e), "hbm"
+    return tiles, "vmem"
+
+
 def _mp_kernel_tiled_hbm(meta, depth, with_attention, n_tiles, x0_ref,
                          e0_hbm, att_hbm, src_ref, dst_ref, *rest):
     """HBM-staged tiled variant (see ``_hbm_tiles_for``): nothing full-E
@@ -586,6 +599,7 @@ def fused_mp_scores(
     interpret: bool = False,
     force_tiles: Optional[int] = None,
     force_variant: Optional[str] = None,
+    grid: Optional[int] = None,
 ) -> jax.Array:
     """Scores [B, E] from the fused kernel (sigmoid unless ``logits``).
 
@@ -593,20 +607,24 @@ def fused_mp_scores(
     ``force_tiles`` overrides the VMEM-model tile choice (tests)."""
     b, n, _ = x0.shape
     e = src.shape[1]
-    if force_variant == "hbm":
-        n_tiles = force_tiles if force_tiles is not None else _hbm_tiles_for(n, e)
-        variant = "hbm"
-    else:
-        n_tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, b)
-        variant = "vmem"
-        if n_tiles is None and force_tiles is None:
-            # VMEM-resident variants don't fit (big bucket / long grid):
-            # fall through to the HBM-staged kernel
-            n_tiles = _hbm_tiles_for(n, e)
-            variant = "hbm"
+    # near-limit VMEM-resident buckets are grid-length-sensitive; callers
+    # whose EFFECTIVE Pallas grid exceeds the local batch dim (the grouped
+    # scene dispatch vmaps S scenes over this fn -> S x b grid) must pass
+    # it, or the variant choice here could disagree with their
+    # fused_supported guard and compile the VMEM variant on a long grid
+    n_tiles, variant = _select_variant(
+        n, e, b if grid is None else grid, force_tiles, force_variant
+    )
     assert n_tiles is not None and e % n_tiles == 0, (n, e, n_tiles)
     with_attention = att is not None
     att_in = att if with_attention else jnp.zeros_like(e0)
+
+    # masked edges forced to -1 so the in-kernel iota compare produces
+    # all-zero one-hot rows/columns (exact padding zero contribution, same
+    # as a host-built masked one-hot)
+    neg = jnp.int32(-1)
+    src_m = jnp.where(edge_mask, src, neg).astype(jnp.int32)
+    dst_m = jnp.where(edge_mask, dst, neg).astype(jnp.int32)
 
     win_spec = lambda *tail: pl.BlockSpec(
         (1, *tail), lambda i: (i, *([0] * len(tail))), memory_space=pltpu.VMEM
@@ -622,12 +640,16 @@ def fused_mp_scores(
             *comb0, *comb_rest, *comb_b, *cls_w, *cls_b,
         )
         e0T = e0.transpose(0, 2, 1)
-        attT = att_in.transpose(0, 2, 1)
+        # attention-free callers (pose) never issue an att DMA — a dummy
+        # operand avoids materializing a full [B, ed, E] zeros buffer
+        attT = (
+            att_in.transpose(0, 2, 1) if with_attention
+            else jnp.zeros((1, 1, 1), jnp.float32)
+        )
         ed = e0T.shape[1]
         tsz = e // n_tiles
-        neg = jnp.int32(-1)
-        src_row = jnp.where(edge_mask, src, neg).astype(jnp.int32)[:, None, :]
-        dst_row = jnp.where(edge_mask, dst, neg).astype(jnp.int32)[:, None, :]
+        src_row = src_m[:, None, :]
+        dst_row = dst_m[:, None, :]
         kernel = functools.partial(
             _mp_kernel_tiled_hbm, meta, depth, with_attention, n_tiles
         )
@@ -675,15 +697,10 @@ def fused_mp_scores(
             _mp_kernel_tiled, meta, depth, with_attention, n_tiles
         )
         scratch_shapes = [pltpu.VMEM((e, e0.shape[2]), jnp.float32)]
-    # masked edges forced to -1 so the in-kernel iota compare produces
-    # all-zero one-hot rows/columns (exact padding zero contribution, same
-    # as a host-built masked one-hot). The single-shot kernel takes [E, 1]
-    # index COLUMNS; the tiled kernel takes [1, E] ROWS (an [E, 1] s32
-    # column tiles to E x 128 physical lanes — 2 MB double-buffered per
-    # input at E=4096, the blow-up that capped tiled coverage).
-    neg = jnp.int32(-1)
-    src_m = jnp.where(edge_mask, src, neg).astype(jnp.int32)
-    dst_m = jnp.where(edge_mask, dst, neg).astype(jnp.int32)
+    # The single-shot kernel takes [E, 1] index COLUMNS; the tiled kernel
+    # takes [1, E] ROWS (an [E, 1] s32 column tiles to E x 128 physical
+    # lanes — 2 MB double-buffered per input at E=4096, the blow-up that
+    # capped tiled coverage).
     if n_tiles == 1:
         gather_ins = (src_m[..., None], dst_m[..., None])
         gather_specs = [win_spec(e, 1), win_spec(e, 1)]
@@ -718,6 +735,7 @@ def fused_mp_scores(
 def fused_scores_from_encodings(
     model, variables, batch, x_img, pn, rn, lp, rp, interpret: bool = False,
     force_tiles: Optional[int] = None, force_variant: Optional[str] = None,
+    grid: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in fused-kernel replacement for the batched
     ``forward_from_encodings`` score path: flax modules compute the pre-MP
@@ -741,7 +759,7 @@ def fused_scores_from_encodings(
         x0, e0, att,
         batch.edge_src, batch.edge_dst, batch.edge_mask,
         flat, meta, model.depth, interpret=interpret, force_tiles=force_tiles,
-        force_variant=force_variant,
+        force_variant=force_variant, grid=grid,
     )
 
 

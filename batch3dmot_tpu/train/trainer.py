@@ -170,9 +170,16 @@ class GNNTrainer:
         graph_for_guard = batch[0] if isinstance(batch, tuple) else batch
         from batch3dmot_tpu.ops.pallas_mp_train import fused_train_supported as fused_supported
 
+        # encoded must mirror fused_training_scores' from_encodings
+        # predicate exactly (pose has no encoding form) or the guard could
+        # admit a bucket the dispatch then rejects
+        encoded = (
+            isinstance(batch, tuple)
+            and type(self.model).__name__ != "PoseGNN"
+        )
         if self.fused and fused_supported(
             graph_for_guard.pose.shape[1], graph_for_guard.edge_src.shape[1],
-            encoded=isinstance(batch, tuple),
+            encoded=encoded,
         ):
             from batch3dmot_tpu.ops.pallas_mp_train import fused_training_scores
 

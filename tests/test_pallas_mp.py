@@ -237,6 +237,15 @@ def test_tiles_for_vmem_model():
     assert fused_supported(512, 8192, 40)
     assert fused_supported(512, 8192, 8)
     assert not fused_supported(1024, 16384)
+    # the dispatch must mirror the guard AT THE CALLER'S EFFECTIVE GRID:
+    # the grouped scene dispatch vmaps S scenes over an 8-window program
+    # (effective grid S x 8) — choosing by the local batch dim would
+    # compile the short-grid VMEM variant on a long grid (compiler OOM)
+    from batch3dmot_tpu.ops.pallas_mp import _select_variant
+
+    assert _select_variant(512, 8192, grid=8) == (16, "vmem")
+    assert _select_variant(512, 8192, grid=40) == (16, "hbm")
+    assert _select_variant(256, 4096, grid=40) == (16, "vmem")
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
