@@ -782,7 +782,9 @@ def fused_scores_full(model, variables, batch, interpret: bool = False) -> jax.A
     )
 
 
-def fused_logits_pose(model, variables, batch, interpret: bool = False) -> jax.Array:
+def fused_logits_pose(model, variables, batch, interpret: bool = False,
+                      force_tiles: Optional[int] = None,
+                      force_variant: Optional[str] = None) -> jax.Array:
     """Fused-kernel replacement for the batched PoseGNN forward: returns
     LOGITS [B, E] (the pose classifier has no sigmoid, gnn.py:288-291)."""
     assert model.knn_conv_mode == "noop", "fused MP kernel: knn_conv_mode must be 'noop'"
@@ -798,4 +800,5 @@ def fused_logits_pose(model, variables, batch, interpret: bool = False) -> jax.A
         x0, e0, None,
         batch.edge_src, batch.edge_dst, batch.edge_mask,
         flat, meta, model.depth, logits=True, interpret=interpret,
+        force_tiles=force_tiles, force_variant=force_variant,
     )

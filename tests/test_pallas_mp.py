@@ -179,9 +179,19 @@ def test_fused_pose_logits_match_xla():
     variables = jax.jit(model.init)(jax.random.key(0), graphs[0])
     ref, _ = jax.vmap(lambda g: model.apply(variables, g))(batch)
     fused = fused_logits_pose(model, variables, batch, interpret=True)
+    # the HBM-staged variant's attention-free path (dummy att operand)
+    fused_hbm = fused_logits_pose(
+        model, variables, batch, interpret=True, force_tiles=4,
+        force_variant="hbm",
+    )
     for k, w in enumerate(windows):
         np.testing.assert_allclose(
             np.asarray(fused)[k, : w.num_edges],
+            np.asarray(ref)[k, : w.num_edges],
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_hbm)[k, : w.num_edges],
             np.asarray(ref)[k, : w.num_edges],
             rtol=2e-4, atol=2e-5,
         )
