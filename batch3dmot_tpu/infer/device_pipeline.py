@@ -97,11 +97,14 @@ class DeviceScenePipeline:
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
     def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int,
-                  mesh_gather: bool = False, grid_len: int = None):
+                  mesh_gather: bool = False, grid_len: int = None,
+                  vmapped: bool = False):
         # grid_len: effective Pallas grid length of the final program when
         # it differs from num_windows (the grouped dispatch vmaps S scenes
         # over this fn -> S x W grid; the biggest fused buckets only fit
-        # at short grids, ops.pallas_mp._tiles_for)
+        # at short grids, ops.pallas_mp._tiles_for). vmapped: the caller
+        # wraps this fn in jax.vmap — Pallas cannot batch ANY-memory-space
+        # operands, so the HBM-staged kernel variant must not be selected
         grid_len = num_windows if grid_len is None else grid_len
         model = self.model
         window_len, k = self.window_len, min(self.k, max_nodes)
@@ -160,7 +163,7 @@ class DeviceScenePipeline:
             from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
             if self.fused and fused_supported(
-                max_nodes, g["edge_src"].shape[1], grid_len
+                max_nodes, g["edge_src"].shape[1], grid_len, vmapped=vmapped
             ):
                 from batch3dmot_tpu.ops.pallas_mp import (
                     fused_scores_from_encodings,
@@ -174,8 +177,10 @@ class DeviceScenePipeline:
                     interpret=self._interpret,
                     # the grouped dispatch vmaps S scenes over this fn: the
                     # variant choice must see the EFFECTIVE S x W grid the
-                    # guard above was checked with
+                    # guard above was checked with, and may not pick the
+                    # HBM-staged kernel under vmap
                     grid=grid_len,
+                    force_variant="vmem" if vmapped else None,
                 )
             else:
                 def one(w):
@@ -370,6 +375,25 @@ class DeviceScenePipeline:
         num_windows = max(
             -(-quanta[i][1] // 8) * 8 for i in live
         )
+        # the HBM-staged kernel is unavailable under vmap (Pallas cannot
+        # batch ANY-memory-space operands): when the group bucket is fused
+        # only single-scene — the 4M-product (512, 8192) bucket — the
+        # per-scene kernel win outweighs the grouped dispatch amortization
+        # (scripts/probe_pipeline_big.py: singles 1.70 s vs grouped 2.04 s
+        # for 2 dense scenes), so score such groups scene-by-scene
+        from batch3dmot_tpu.ops.pallas_mp import fused_supported
+
+        e_cnt = max_nodes * min(self.k, max_nodes)
+        if (
+            self.fused
+            and not fused_supported(
+                max_nodes, e_cnt, len(live) * num_windows, vmapped=True
+            )
+            and fused_supported(max_nodes, e_cnt, num_windows)
+        ):
+            for i in live:
+                results[i] = self.score_scene(scenes[i])
+            return results
         prepared = [
             self._prepare(scenes[i], m_pad, num_windows) for i in live
         ]
@@ -390,7 +414,8 @@ class DeviceScenePipeline:
         key = ("grp", S, m_pad, num_windows, max_nodes)
         if key not in self._compiled:
             single = self._build_fn(
-                m_pad, num_windows, max_nodes, grid_len=S * num_windows
+                m_pad, num_windows, max_nodes, grid_len=S * num_windows,
+                vmapped=True,
             )
             in_axes = (None,) + (0,) * 16
             if self.mesh is not None:

@@ -133,15 +133,19 @@ def _hbm_tiles_for(max_nodes: int, max_edges: int) -> Optional[int]:
 
 
 def fused_supported(max_nodes: int, max_edges: int,
-                    grid: Optional[int] = None) -> bool:
+                    grid: Optional[int] = None,
+                    vmapped: bool = False) -> bool:
     """Whether a fused MP kernel (single-shot, edge-tiled or HBM-staged)
     fits at this bucket; pass the window-batch length as ``grid`` when
     known (near-limit VMEM-resident buckets are grid-length-sensitive;
-    the HBM-staged variant covers the rest up to (512, 8192))."""
-    return (
-        _tiles_for(max_nodes, max_edges, grid) is not None
-        or _hbm_tiles_for(max_nodes, max_edges) is not None
-    )
+    the HBM-staged variant covers the rest up to (512, 8192)). Callers
+    that ``jax.vmap`` the scoring program (the grouped scene dispatch)
+    must pass ``vmapped=True``: Pallas cannot batch ANY-memory-space
+    operands, so the HBM-staged variant is unavailable there and only
+    the VMEM-resident coverage counts."""
+    if _tiles_for(max_nodes, max_edges, grid) is not None:
+        return True
+    return (not vmapped) and _hbm_tiles_for(max_nodes, max_edges) is not None
 
 
 def _split_rows(w, sizes):
@@ -414,12 +418,14 @@ def _mp_kernel_tiled(meta, depth, with_attention, n_tiles, x0_ref, e0_ref,
 def _select_variant(n, e, grid, force_tiles=None, force_variant=None):
     """(n_tiles, variant) for the fused kernel dispatch: the VMEM-resident
     variants wherever their grid-sensitive model fits, the HBM-staged
-    kernel beyond (must mirror ``fused_supported``)."""
+    kernel beyond (must mirror ``fused_supported``). ``force_variant``:
+    'hbm' forces the HBM-staged kernel; 'vmem' forbids it (required under
+    ``jax.vmap`` — Pallas cannot batch ANY-memory-space operands)."""
     if force_variant == "hbm":
         tiles = force_tiles if force_tiles is not None else _hbm_tiles_for(n, e)
         return tiles, "hbm"
     tiles = force_tiles if force_tiles is not None else _tiles_for(n, e, grid)
-    if tiles is None and force_tiles is None:
+    if tiles is None and force_tiles is None and force_variant != "vmem":
         return _hbm_tiles_for(n, e), "hbm"
     return tiles, "vmem"
 

@@ -196,3 +196,36 @@ def test_device_pipeline_grouped_matches_ungrouped(mm_setup):
     assert sub1["results"].keys() == sub2["results"].keys()
     for token in sub1["results"]:
         assert len(sub1["results"][token]) == len(sub2["results"][token])
+
+
+def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
+    """The HBM-staged fused kernel is unavailable under jax.vmap, so scene
+    GROUPS whose shared bucket is (512, 8192) — fused only single-scene —
+    must be scored scene-by-scene (the per-scene kernel win beats the
+    grouped dispatch amortization there; scripts/probe_pipeline_big.py)."""
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scenes = [
+        make_synthetic_scene(
+            seed=50 + i, num_frames=12, num_tracks=90, fp_per_frame=6.0,
+            with_modalities=True, scene_token=f"dense{i}",
+        )
+        for i in range(2)
+    ]
+    pipe = DeviceScenePipeline(
+        MultimodalGNN(), variables=None, window_len=5, k=16, fused=True
+    )
+    # the dense scenes must land in the 512-node quantum for the routing
+    # condition to trigger
+    assert max(pipe._quanta(s)[2] for s in scenes) == 512
+
+    called = []
+    monkeypatch.setattr(
+        type(pipe), "score_scene",
+        lambda self, s: called.append(s.scene_token) or {(0, 1): 0.5},
+    )
+    results = pipe.score_scenes(scenes)
+    assert called == ["dense0", "dense1"]
+    assert all(r == {(0, 1): 0.5} for r in results)

@@ -256,6 +256,14 @@ def test_tiles_for_vmem_model():
     assert _select_variant(512, 8192, grid=8) == (16, "vmem")
     assert _select_variant(512, 8192, grid=40) == (16, "hbm")
     assert _select_variant(256, 4096, grid=40) == (16, "vmem")
+    # Pallas cannot batch ANY-memory-space operands: under jax.vmap (the
+    # grouped scene dispatch) the HBM-staged variant is unavailable —
+    # guard and dispatch must agree on the fallback to XLA
+    assert not fused_supported(512, 8192, 80, vmapped=True)
+    assert fused_supported(256, 4096, 80, vmapped=True)
+    assert _select_variant(512, 8192, grid=80, force_variant="vmem") == (
+        None, "vmem",
+    )
 
 
 def test_fused_kernel_tiled_matches_xla(setup):
