@@ -286,13 +286,6 @@ def _train_fwd_kernel(meta, depth, with_attention, logits,
     scores_ref[0] = jnp.broadcast_to(out[None, :], (8, out.shape[0]))
 
 
-def _zero_grads_like(W, with_attention):
-    zs = []
-    for group in W:
-        zs.append(tuple(jnp.zeros(w.shape, jnp.float32) for w in group))
-    return tuple(zs)
-
-
 def _train_bwd_kernel(meta, depth, with_attention, logits,
                       ds_ref, xs_ref, es_ref, att_ref, oh_src_ref, oh_dst_ref,
                       *rest):
