@@ -320,6 +320,8 @@ def cmd_train_gnn(args) -> None:
         )
     _graft_encoder_checkpoints(args, trainer)
 
+    if getattr(args, "device_dataset", False) and not getattr(args, "encoded", False):
+        raise SystemExit("--device-dataset requires --encoded")
     if getattr(args, "encoded", False):
         # Precompute the frozen encoders ONCE per scene and train the GNN on
         # gathered embeddings: with window length L and E epochs this
@@ -356,6 +358,57 @@ def cmd_train_gnn(args) -> None:
             if val_paths
             else None
         )
+        if getattr(args, "device_dataset", False):
+            # DEVICE-RESIDENT dataset: every window uploads once and each
+            # epoch runs as one scanned program gathering batches on
+            # device — after the upload no training data crosses the host
+            # link (the per-epoch batch re-upload is the wall-clock floor
+            # through a remote-TPU relay, CLAUDE.md relay economics).
+            # Opt-in: the whole dataset must fit in HBM next to the
+            # working set (the streaming default has no such bound).
+            import jax
+
+            from batch3dmot_tpu.train.encoded import (
+                materialize_encoded_dataset,
+                scene_encodings_cached,
+            )
+
+            items = []
+            for p in train_paths:
+                enc = scene_encodings_cached(
+                    model, trainer.variables, p, scene_loader
+                )
+                items.extend(
+                    (w, enc) for w in GraphStoreReader(p).windows()
+                )
+            train_ds = materialize_encoded_dataset(items)
+            ds_bytes = sum(
+                a.nbytes for a in jax.tree.leaves(train_ds[:2])
+            )
+            limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
+            if ds_bytes > limit_gb * 2**30:
+                raise SystemExit(
+                    f"--device-dataset: dataset is {ds_bytes / 2**30:.1f} "
+                    f"GiB (> {limit_gb} GiB HBM budget; override with "
+                    "B3D_DEVICE_DATASET_GB) — drop the flag to stream"
+                )
+            print(
+                f"train-gnn: device-resident dataset "
+                f"({train_ds[0].pose.shape[0] - 1} windows, "
+                f"{ds_bytes / 2**20:.0f} MiB, bucket {train_ds[2]})"
+            )
+            log_dir = os.path.join(cfg.paths.models, "gnn")
+            with _maybe_profile(getattr(args, "profile", None)):
+                history = trainer.fit_device(
+                    train_ds,
+                    epochs=args.epochs or cfg.gnn.num_epochs,
+                    val_batcher=val_batcher,
+                    log_dir=log_dir,
+                    version=f"{cfg.main.version}-{args.model}",
+                    writer=MetricWriter(log_dir),
+                )
+            print(f"train-gnn: done, checkpoints in {log_dir}")
+            return history
     else:
         train_batcher = make_batcher(
             train_paths, cfg.gnn.batch_size, uniform=True
@@ -1287,6 +1340,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="precompute the frozen encoders once per scene and "
                         "train on gathered embeddings (removes the L-fold "
                         "per-window re-encoding)")
+    p.add_argument("--device-dataset", action="store_true",
+                   help="with --encoded: upload the whole padded dataset to "
+                        "the device once and run each epoch as one scanned "
+                        "program (no per-epoch batch re-upload — the "
+                        "wall-clock floor through a remote-TPU relay); "
+                        "requires the dataset to fit in HBM "
+                        "(B3D_DEVICE_DATASET_GB budget, default 6)")
     for enc in ("resnet", "pointnet", "radarnet"):
         p.add_argument(f"--{enc}-checkpoint", type=str, default=None,
                        help=f"graft a pretrained {enc} encoder checkpoint "

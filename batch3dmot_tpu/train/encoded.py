@@ -329,3 +329,45 @@ class EncodedGraphBatcher:
                 [w for w, _ in pairs], [e for _, e in pairs],
                 self.batch_size, mn, me,
             )
+
+
+def materialize_encoded_dataset(
+    windows_with_encodings: Sequence[
+        Tuple[WindowGraphArrays, Dict[str, np.ndarray]]
+    ],
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+) -> Tuple[PaddedGraph, Tuple, Tuple[int, int]]:
+    """The whole encoded dataset as ONE stacked pytree for DEVICE-RESIDENT
+    training (``GNNTrainer.fit_device``): every window padded to a single
+    uniform bucket and stacked on a leading [W+1] axis (numpy — the
+    trainer uploads once), with an EMPTY window appended at index W so
+    remainder batches can be padded with a fully-masked slot (exact: the
+    loss masks it to zero, same as the host batcher's empty-graph fill).
+
+    Rationale: the per-epoch host->device batch transfer dominates wall
+    time on remote-relay TPU deployments (~3 MB/step re-shipped every
+    epoch through a ~40 MB/s link, CLAUDE.md relay economics) even though
+    the dataset is STATIC. Returns (graphs [W+1, ...], encodings tuple
+    [W+1, ...], bucket)."""
+    from batch3dmot_tpu.train.data import uniform_bucket
+
+    items = [
+        (w, e)
+        for (w, e) in windows_with_encodings
+        if w.num_nodes > 0 and w.num_edges > 0
+    ]
+    assert items, "materialize_encoded_dataset: no non-empty windows"
+    (mn, me), = uniform_bucket(
+        [(w.num_nodes, w.num_edges) for w, _ in items], buckets
+    )
+    singles = [
+        _assemble_encoded_batch([w], [e], 1, mn, me) for w, e in items
+    ]
+    singles.append(_assemble_encoded_batch([], [], 1, mn, me))  # empty slot
+    graphs = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=0), *[g for g, _ in singles]
+    )
+    encs = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=0), *[e for _, e in singles]
+    )
+    return graphs, encs, (mn, me)

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--fused-steps", type=int, default=8)
     ap.add_argument("--no-fused", action="store_true",
                     help="force XLA-autodiff training (A/B the kernels)")
+    ap.add_argument("--host-batches", action="store_true",
+                    help="per-batch host->device transfer (the default is "
+                    "the device-resident dataset: upload once, one scanned "
+                    "program per epoch — the per-epoch re-upload is the "
+                    "wall-clock floor through the TPU relay)")
     # at trainval density (kNN 40, L=5) the demo-scale lr 1e-3 diverges —
     # use the reference's GNN lr (cl_config.yaml:100, 1e-4)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -119,15 +124,25 @@ def main():
             val_scenes.append((scene, windows))
     print(f"  data ready in {time.time()-t0:.1f}s: {len(train_items)} train windows", flush=True)
 
-    batcher = EncodedGraphBatcher(
-        train_items, batch_size=args.batch_size, buckets=buckets, uniform=True
-    )
     t0 = time.time()
-    history = trainer.fit(
-        batcher, epochs=args.epochs, verbose=True, fused_steps=args.fused_steps
-    )
+    if args.host_batches:
+        batcher = EncodedGraphBatcher(
+            train_items, batch_size=args.batch_size, buckets=buckets,
+            uniform=True,
+        )
+        history = trainer.fit(
+            batcher, epochs=args.epochs, verbose=True,
+            fused_steps=args.fused_steps,
+        )
+        steps = len(batcher) * args.epochs
+    else:
+        from batch3dmot_tpu.train.encoded import materialize_encoded_dataset
+
+        ds = materialize_encoded_dataset(train_items, buckets=buckets)
+        history = trainer.fit_device(ds, epochs=args.epochs, verbose=True)
+        n_items = ds[0].pose.shape[0] - 1
+        steps = (-(-n_items // args.batch_size)) * args.epochs
     train_time = time.time() - t0
-    steps = len(batcher) * args.epochs
     print(f"training: {train_time:.1f}s for {steps} steps "
           f"({steps/train_time:.1f} steps/s)", flush=True)
 

