@@ -321,7 +321,42 @@ def cmd_train_gnn(args) -> None:
     _graft_encoder_checkpoints(args, trainer)
 
     if getattr(args, "device_dataset", False) and not getattr(args, "encoded", False):
-        raise SystemExit("--device-dataset requires --encoded")
+        # plain (modality-free) dataset: the pose model's counterpart of
+        # the encoded device-resident path
+        if type(model).__name__ != "PoseGNN":
+            raise SystemExit(
+                "--device-dataset needs --encoded for multimodal models "
+                "(the raw-modality dataset would re-run the frozen "
+                "encoders in-graph every step)"
+            )
+        from batch3dmot_tpu.train.data import materialize_graph_dataset
+
+        windows = []
+        for p in train_paths:
+            windows.extend(GraphStoreReader(p).windows())
+        train_ds = materialize_graph_dataset(windows)
+        val_batcher = (
+            make_batcher(val_paths, cfg.gnn.batch_size, uniform=True)
+            if val_paths
+            else None
+        )
+        print(
+            f"train-gnn: device-resident dataset "
+            f"({train_ds[0].pose.shape[0] - 1} windows, "
+            f"bucket {train_ds[2]})"
+        )
+        log_dir = os.path.join(cfg.paths.models, "gnn")
+        with _maybe_profile(getattr(args, "profile", None)):
+            history = trainer.fit_device(
+                train_ds,
+                epochs=args.epochs or cfg.gnn.num_epochs,
+                val_batcher=val_batcher,
+                log_dir=log_dir,
+                version=f"{cfg.main.version}-{args.model}",
+                writer=MetricWriter(log_dir),
+            )
+        print(f"train-gnn: done, checkpoints in {log_dir}")
+        return history
     if getattr(args, "encoded", False):
         # Precompute the frozen encoders ONCE per scene and train the GNN on
         # gathered embeddings: with window length L and E epochs this
@@ -1341,11 +1376,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "train on gathered embeddings (removes the L-fold "
                         "per-window re-encoding)")
     p.add_argument("--device-dataset", action="store_true",
-                   help="with --encoded: upload the whole padded dataset to "
-                        "the device once and run each epoch as one scanned "
-                        "program (no per-epoch batch re-upload — the "
-                        "wall-clock floor through a remote-TPU relay); "
-                        "requires the dataset to fit in HBM "
+                   help="upload the whole padded dataset to the device once "
+                        "and run each epoch as one scanned program (no "
+                        "per-epoch batch re-upload — the wall-clock floor "
+                        "through a remote-TPU relay); multimodal models "
+                        "need --encoded, pose trains on the plain window "
+                        "dataset; requires the dataset to fit in HBM "
                         "(B3D_DEVICE_DATASET_GB budget, default 6)")
     for enc in ("resnet", "pointnet", "radarnet"):
         p.add_argument(f"--{enc}-checkpoint", type=str, default=None,

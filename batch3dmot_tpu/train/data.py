@@ -137,3 +137,38 @@ class GraphBatcher:
             while len(graphs) < self.batch_size:
                 graphs.append(empty_graph(mn, me))
             yield batch_graphs(graphs)
+
+
+def materialize_graph_dataset(
+    windows, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
+):
+    """The whole (modality-free) window set as ONE stacked pytree for
+    DEVICE-RESIDENT training (``GNNTrainer.fit_device``; the pose-model
+    counterpart of ``train.encoded.materialize_encoded_dataset``): every
+    window padded to a single uniform bucket and stacked on a leading
+    [W+1] axis, with an EMPTY window appended at index W for remainder
+    padding. Returns (graphs, None, bucket)."""
+    import jax
+
+    from batch3dmot_tpu.graph import empty_graph
+
+    items = [w for w in windows if w.num_nodes > 0 and w.num_edges > 0]
+    assert items, "materialize_graph_dataset: no non-empty windows"
+    (mn, me), = uniform_bucket(
+        [(w.num_nodes, w.num_edges) for w in items], buckets
+    )
+    # modality-free by construction (the pose model never reads them;
+    # windows from sensor-built stores may carry crops)
+    padded = [
+        pad_graph(
+            pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+            edge_attr=w.edge_attr, node_time=w.node_time,
+            node_class=w.node_class, max_nodes=mn, max_edges=me,
+            edge_label=w.edge_label, edge_weight=w.edge_weight,
+            include_modalities=False,
+        )
+        for w in items
+    ]
+    padded.append(empty_graph(mn, me, include_modalities=False))
+    graphs = jax.tree.map(lambda *xs: np.stack(xs), *padded)
+    return graphs, None, (mn, me)

@@ -394,12 +394,14 @@ class GNNTrainer:
 
     def _epoch_device(self, state, graphs, enc, idx):
         """One epoch as ONE program: scan over [n_steps, B] index rows,
-        gathering each batch from the device-resident dataset in-graph."""
+        gathering each batch from the device-resident dataset in-graph.
+        ``enc`` is None for pose-model (modality-free) datasets."""
 
         def body(st, ib):
             batch = jax.tree.map(lambda a: a[ib], graphs)
-            eb = jax.tree.map(lambda a: a[ib], enc)
-            st, loss, scores = self._step(st, (batch, eb))
+            if enc is not None:
+                batch = (batch, jax.tree.map(lambda a: a[ib], enc))
+            st, loss, scores = self._step(st, batch)
             return st, (loss, scores)
 
         return jax.lax.scan(body, state, idx)
@@ -430,7 +432,7 @@ class GNNTrainer:
         n_items = graphs_np.pose.shape[0] - 1  # last slot is the empty pad
         B = self.cfg.batch_size
         graphs = jax.device_put(graphs_np)
-        enc = jax.device_put(enc_np)
+        enc = jax.device_put(enc_np) if enc_np is not None else None
         rng = np.random.default_rng(seed)
         run = jax.jit(self._epoch_device, donate_argnums=0)
 

@@ -238,7 +238,7 @@ def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
     the flag is rejected."""
     tmp, _, common = mm_setup
 
-    with pytest.raises(SystemExit, match="requires --encoded"):
+    with pytest.raises(SystemExit, match="needs --encoded"):
         main(["train-gnn", "--model", "mm", "--device-dataset",
               "--epochs", "1", *common])
 
@@ -257,4 +257,19 @@ def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
     ) or True
     assert glob.glob(
         os.path.join(str(tmp_path), "models_dd", "gnn", "*mm*.msgpack")
+    )
+
+
+def test_train_gnn_device_dataset_pose(mm_setup, tmp_path):
+    """The pose model's device-resident path (plain window dataset, no
+    encodings) trains and checkpoints through the CLI."""
+    tmp, _, common = mm_setup
+    history = main([
+        "train-gnn", "--model", "pose", "--epochs", "2", "--device-dataset",
+        *common,
+        "--set", f"paths.models={tmp_path}/models_pose_dd",
+    ])
+    assert history and np.isfinite(history[0]["train/loss"])
+    assert glob.glob(
+        os.path.join(str(tmp_path), "models_pose_dd", "gnn", "*pose*.msgpack")
     )
