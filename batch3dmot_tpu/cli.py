@@ -320,6 +320,11 @@ def cmd_train_gnn(args) -> None:
         )
     _graft_encoder_checkpoints(args, trainer)
 
+    if getattr(args, "device_dataset", False) and mesh is not None:
+        raise SystemExit(
+            "--device-dataset is single-device (the dataset lives in one "
+            "chip's HBM); drop --devices or the flag"
+        )
     if getattr(args, "device_dataset", False) and not getattr(args, "encoded", False):
         # plain (modality-free) dataset: the pose model's counterpart of
         # the encoded device-resident path
