@@ -320,11 +320,6 @@ def cmd_train_gnn(args) -> None:
         )
     _graft_encoder_checkpoints(args, trainer)
 
-    if getattr(args, "device_dataset", False) and mesh is not None:
-        raise SystemExit(
-            "--device-dataset is single-device (the dataset lives in one "
-            "chip's HBM); drop --devices or the flag"
-        )
     if getattr(args, "device_dataset", False) and not getattr(args, "encoded", False):
         # plain (modality-free) dataset: the pose model's counterpart of
         # the encoded device-resident path
@@ -1386,8 +1381,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "per-epoch batch re-upload — the wall-clock floor "
                         "through a remote-TPU relay); multimodal models "
                         "need --encoded, pose trains on the plain window "
-                        "dataset; requires the dataset to fit in HBM "
-                        "(B3D_DEVICE_DATASET_GB budget, default 6)")
+                        "dataset; with --devices N the dataset shards "
+                        "along the window axis across the mesh; must fit "
+                        "in (combined) HBM (B3D_DEVICE_DATASET_GB budget "
+                        "per chip, default 6)")
     for enc in ("resnet", "pointnet", "radarnet"):
         p.add_argument(f"--{enc}-checkpoint", type=str, default=None,
                        help=f"graft a pretrained {enc} encoder checkpoint "

@@ -397,10 +397,26 @@ class GNNTrainer:
         gathering each batch from the device-resident dataset in-graph.
         ``enc`` is None for pose-model (modality-free) datasets."""
 
+        def constrain(tree):
+            if self.mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+            s = NamedSharding(self.mesh, P(DATA_AXIS))
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, s), tree
+            )
+
         def body(st, ib):
-            batch = jax.tree.map(lambda a: a[ib], graphs)
+            # the dataset is sharded along the window axis on a mesh; the
+            # gathered batch re-shards along its batch axis so the step
+            # runs data-parallel (params replicated -> XLA inserts the
+            # gradient psum, parallel/mesh.py)
+            batch = constrain(jax.tree.map(lambda a: a[ib], graphs))
             if enc is not None:
-                batch = (batch, jax.tree.map(lambda a: a[ib], enc))
+                batch = (batch, constrain(jax.tree.map(lambda a: a[ib], enc)))
             st, loss, scores = self._step(st, batch)
             return st, (loss, scores)
 
@@ -426,13 +442,39 @@ class GNNTrainer:
         wall-clock floor (~3 MB/step over ~40 MB/s, CLAUDE.md relay
         economics); this removes it. Exact same math as ``fit`` with an
         EncodedGraphBatcher: per-epoch window reshuffling, remainder
-        batches padded with the fully-masked empty slot (index W)."""
-        assert self.mesh is None, "fit_device: single-device path"
+        batches padded with the fully-masked empty slot (index W). On a
+        mesh the dataset shards along the window axis (one chip's HBM no
+        longer bounds it) and each step runs data-parallel."""
         graphs_np, enc_np, _bucket = dataset
         n_items = graphs_np.pose.shape[0] - 1  # last slot is the empty pad
         B = self.cfg.batch_size
-        graphs = jax.device_put(graphs_np)
-        enc = jax.device_put(enc_np) if enc_np is not None else None
+        if self.mesh is not None:
+            # shard the dataset along the WINDOW axis across the mesh —
+            # one chip's HBM no longer bounds the dataset (trainval-scale);
+            # per-step batch gathers ride ICI
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+            assert B % self.mesh.size == 0, (B, self.mesh.size)
+            pad_rows = (-(n_items + 1)) % self.mesh.size
+            if pad_rows:
+                # extra copies of the empty slot keep the axis divisible;
+                # index n_items stays the canonical empty row
+                dup = lambda a: np.concatenate(
+                    [a] + [a[-1:]] * pad_rows, axis=0
+                )
+                graphs_np = jax.tree.map(dup, graphs_np)
+                if enc_np is not None:
+                    enc_np = jax.tree.map(dup, enc_np)
+            shard = NamedSharding(self.mesh, P(DATA_AXIS))
+            graphs = jax.device_put(graphs_np, shard)
+            enc = (
+                jax.device_put(enc_np, shard) if enc_np is not None else None
+            )
+        else:
+            graphs = jax.device_put(graphs_np)
+            enc = jax.device_put(enc_np) if enc_np is not None else None
         rng = np.random.default_rng(seed)
         run = jax.jit(self._epoch_device, donate_argnums=0)
 

@@ -146,3 +146,27 @@ def test_build_graphs_skip_existing_counts(built, capsys):
     ])
     out = capsys.readouterr().out
     assert "(2 skipped)" in out and "0 windows" in out
+
+
+def test_train_gnn_device_dataset_devices_matches_single(built):
+    """--device-dataset with --devices N shards the device-resident
+    dataset along the window axis; same losses as single-device."""
+    tmp = built
+
+    def run(models_dir, devices=None):
+        argv = [
+            "train-gnn", "--model", "pose", "--epochs", "2",
+            "--device-dataset",
+            "--set", f"paths.tmp={tmp}",
+            "--set", f"paths.models={models_dir}",
+            "--set", "gnn.gnn_depth=2",
+            "--set", "gnn.batch_size=2",
+        ]
+        if devices:
+            argv += ["--devices", str(devices)]
+        return main(argv)
+
+    h1 = run(os.path.join(tmp, "mdd1"))
+    h2 = run(os.path.join(tmp, "mdd2"), devices=2)
+    for m1, m2 in zip(h1, h2):
+        assert np.isclose(m1["train/loss"], m2["train/loss"], rtol=1e-4)

@@ -262,12 +262,8 @@ def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
 
 def test_train_gnn_device_dataset_pose(mm_setup, tmp_path):
     """The pose model's device-resident path (plain window dataset, no
-    encodings) trains and checkpoints through the CLI; combining the flag
-    with --devices is rejected (single-chip HBM residency)."""
+    encodings) trains and checkpoints through the CLI."""
     tmp, _, common = mm_setup
-    with pytest.raises(SystemExit, match="single-device"):
-        main(["train-gnn", "--model", "pose", "--device-dataset",
-              "--devices", "2", "--epochs", "1", *common])
     history = main([
         "train-gnn", "--model", "pose", "--epochs", "2", "--device-dataset",
         *common,

@@ -99,3 +99,30 @@ def test_sharded_inference_matches_single_device():
 
     for a, b in zip(s_plain, s_shard):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fit_device_sharded_matches_single_device():
+    """Device-resident dataset training with the dataset SHARDED along the
+    window axis across the 8-device mesh must produce the same losses and
+    parameters as the single-device path (same seed -> same batch
+    composition; gathers ride the mesh, grads psum)."""
+    from batch3dmot_tpu.train.data import materialize_graph_dataset
+
+    windows = _windows()
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=8)
+    ds = materialize_graph_dataset(windows, buckets=BUCKETS)
+
+    t1 = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0)
+    h1 = t1.fit_device(ds, epochs=2, verbose=False, seed=3)
+    t2 = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0, mesh=make_mesh(8))
+    h2 = t2.fit_device(ds, epochs=2, verbose=False, seed=3)
+
+    for m1, m2 in zip(h1, h2):
+        assert m1["train/loss"] == pytest.approx(m2["train/loss"], rel=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
