@@ -320,6 +320,45 @@ def cmd_train_gnn(args) -> None:
         )
     _graft_encoder_checkpoints(args, trainer)
 
+    def _fit_device_dataset(train_ds, val_batcher):
+        """Shared tail of the two --device-dataset branches: HBM budget
+        guard (per chip, scaled by the mesh the dataset shards across),
+        then one scanned program per epoch (train/trainer.fit_device)."""
+        import jax
+
+        ds_bytes = sum(
+            a.nbytes
+            for a in jax.tree.leaves(
+                train_ds[0] if train_ds[1] is None else train_ds[:2]
+            )
+        )
+        n_chips = mesh.size if mesh is not None else 1
+        limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
+        if ds_bytes > limit_gb * 2**30 * n_chips:
+            raise SystemExit(
+                f"--device-dataset: dataset is {ds_bytes / 2**30:.1f} GiB "
+                f"(> {limit_gb} GiB/chip x {n_chips}; override with "
+                "B3D_DEVICE_DATASET_GB or add --devices) — drop the flag "
+                "to stream"
+            )
+        print(
+            f"train-gnn: device-resident dataset "
+            f"({train_ds[0].pose.shape[0] - 1} windows, "
+            f"{ds_bytes / 2**20:.0f} MiB, bucket {train_ds[2]})"
+        )
+        log_dir = os.path.join(cfg.paths.models, "gnn")
+        with _maybe_profile(getattr(args, "profile", None)):
+            history = trainer.fit_device(
+                train_ds,
+                epochs=args.epochs or cfg.gnn.num_epochs,
+                val_batcher=val_batcher,
+                log_dir=log_dir,
+                version=f"{cfg.main.version}-{args.model}",
+                writer=MetricWriter(log_dir),
+            )
+        print(f"train-gnn: done, checkpoints in {log_dir}")
+        return history
+
     if getattr(args, "device_dataset", False) and not getattr(args, "encoded", False):
         # plain (modality-free) dataset: the pose model's counterpart of
         # the encoded device-resident path
@@ -334,29 +373,14 @@ def cmd_train_gnn(args) -> None:
         windows = []
         for p in train_paths:
             windows.extend(GraphStoreReader(p).windows())
-        train_ds = materialize_graph_dataset(windows)
         val_batcher = (
             make_batcher(val_paths, cfg.gnn.batch_size, uniform=True)
             if val_paths
             else None
         )
-        print(
-            f"train-gnn: device-resident dataset "
-            f"({train_ds[0].pose.shape[0] - 1} windows, "
-            f"bucket {train_ds[2]})"
+        return _fit_device_dataset(
+            materialize_graph_dataset(windows), val_batcher
         )
-        log_dir = os.path.join(cfg.paths.models, "gnn")
-        with _maybe_profile(getattr(args, "profile", None)):
-            history = trainer.fit_device(
-                train_ds,
-                epochs=args.epochs or cfg.gnn.num_epochs,
-                val_batcher=val_batcher,
-                log_dir=log_dir,
-                version=f"{cfg.main.version}-{args.model}",
-                writer=MetricWriter(log_dir),
-            )
-        print(f"train-gnn: done, checkpoints in {log_dir}")
-        return history
     if getattr(args, "encoded", False):
         # Precompute the frozen encoders ONCE per scene and train the GNN on
         # gathered embeddings: with window length L and E epochs this
@@ -377,14 +401,6 @@ def cmd_train_gnn(args) -> None:
                 )
             return scene
 
-        # scene-streaming: memory bounded by one scene; encoding tables
-        # persist next to the stores keyed by the encoder digest, so a
-        # restarted run re-encodes nothing. uniform=True: one shape for
-        # the whole epoch so the K-step fused scan groups cleanly.
-        train_batcher = StreamingEncodedBatcher(
-            train_paths, model, trainer.variables, scene_loader,
-            cfg.gnn.batch_size, uniform=True,
-        )
         val_batcher = (
             StreamingEncodedBatcher(
                 val_paths, model, trainer.variables, scene_loader,
@@ -399,10 +415,8 @@ def cmd_train_gnn(args) -> None:
             # device — after the upload no training data crosses the host
             # link (the per-epoch batch re-upload is the wall-clock floor
             # through a remote-TPU relay, CLAUDE.md relay economics).
-            # Opt-in: the whole dataset must fit in HBM next to the
-            # working set (the streaming default has no such bound).
-            import jax
-
+            # Opt-in: the dataset must fit in (mesh-combined) HBM next to
+            # the working set (the streaming default has no such bound).
             from batch3dmot_tpu.train.encoded import (
                 materialize_encoded_dataset,
                 scene_encodings_cached,
@@ -416,34 +430,17 @@ def cmd_train_gnn(args) -> None:
                 items.extend(
                     (w, enc) for w in GraphStoreReader(p).windows()
                 )
-            train_ds = materialize_encoded_dataset(items)
-            ds_bytes = sum(
-                a.nbytes for a in jax.tree.leaves(train_ds[:2])
+            return _fit_device_dataset(
+                materialize_encoded_dataset(items), val_batcher
             )
-            limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
-            if ds_bytes > limit_gb * 2**30:
-                raise SystemExit(
-                    f"--device-dataset: dataset is {ds_bytes / 2**30:.1f} "
-                    f"GiB (> {limit_gb} GiB HBM budget; override with "
-                    "B3D_DEVICE_DATASET_GB) — drop the flag to stream"
-                )
-            print(
-                f"train-gnn: device-resident dataset "
-                f"({train_ds[0].pose.shape[0] - 1} windows, "
-                f"{ds_bytes / 2**20:.0f} MiB, bucket {train_ds[2]})"
-            )
-            log_dir = os.path.join(cfg.paths.models, "gnn")
-            with _maybe_profile(getattr(args, "profile", None)):
-                history = trainer.fit_device(
-                    train_ds,
-                    epochs=args.epochs or cfg.gnn.num_epochs,
-                    val_batcher=val_batcher,
-                    log_dir=log_dir,
-                    version=f"{cfg.main.version}-{args.model}",
-                    writer=MetricWriter(log_dir),
-                )
-            print(f"train-gnn: done, checkpoints in {log_dir}")
-            return history
+        # scene-streaming: memory bounded by one scene; encoding tables
+        # persist next to the stores keyed by the encoder digest, so a
+        # restarted run re-encodes nothing. uniform=True: one shape for
+        # the whole epoch so the K-step fused scan groups cleanly.
+        train_batcher = StreamingEncodedBatcher(
+            train_paths, model, trainer.variables, scene_loader,
+            cfg.gnn.batch_size, uniform=True,
+        )
     else:
         train_batcher = make_batcher(
             train_paths, cfg.gnn.batch_size, uniform=True

@@ -139,6 +139,24 @@ class GraphBatcher:
             yield batch_graphs(graphs)
 
 
+def single_bucket_for(
+    sizes, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
+) -> Tuple[int, int]:
+    """ONE bucket covering every (num_nodes, num_edges) — for the
+    device-resident datasets, which need a single uniform shape.
+    ``uniform_bucket``'s choice when its outlier guard allows one, else
+    the bucket fitting the densest window (the guard's multi-bucket
+    fallback would crash a single-shape consumer; here the padding waste
+    a crowded outlier causes is the accepted price — callers print the
+    chosen bucket)."""
+    out = uniform_bucket(sizes, buckets)
+    if len(out) == 1:
+        return out[0]
+    return pick_bucket(
+        max(n for n, _ in sizes), max(e for _, e in sizes), buckets
+    )
+
+
 def materialize_graph_dataset(
     windows, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
 ):
@@ -150,25 +168,38 @@ def materialize_graph_dataset(
     padding. Returns (graphs, None, bucket)."""
     import jax
 
-    from batch3dmot_tpu.graph import empty_graph
-
     items = [w for w in windows if w.num_nodes > 0 and w.num_edges > 0]
     assert items, "materialize_graph_dataset: no non-empty windows"
-    (mn, me), = uniform_bucket(
+    mn, me = single_bucket_for(
         [(w.num_nodes, w.num_edges) for w in items], buckets
     )
+
     # modality-free by construction (the pose model never reads them;
-    # windows from sensor-built stores may carry crops)
-    padded = [
-        pad_graph(
+    # windows from sensor-built stores may carry crops); preallocated
+    # [W+1, ...] buffers filled row by row (stack-of-copies would
+    # transiently double host RAM)
+    def one(w):
+        return pad_graph(
             pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
             edge_attr=w.edge_attr, node_time=w.node_time,
             node_class=w.node_class, max_nodes=mn, max_edges=me,
             edge_label=w.edge_label, edge_weight=w.edge_weight,
             include_modalities=False,
         )
-        for w in items
-    ]
-    padded.append(empty_graph(mn, me, include_modalities=False))
-    graphs = jax.tree.map(lambda *xs: np.stack(xs), *padded)
+
+    W = len(items)
+    g0 = one(items[0])
+    graphs = jax.tree.map(
+        lambda a: np.zeros((W + 1, *np.shape(a)), np.asarray(a).dtype), g0
+    )
+
+    def fill(k, g1):
+        jax.tree.map(
+            lambda dst, src: dst.__setitem__(k, np.asarray(src)), graphs, g1
+        )
+
+    fill(0, g0)
+    for k, w in enumerate(items[1:], start=1):
+        fill(k, one(w))
+    fill(W, empty_graph(mn, me, include_modalities=False))
     return graphs, None, (mn, me)

@@ -349,7 +349,7 @@ def materialize_encoded_dataset(
     epoch through a ~40 MB/s link, CLAUDE.md relay economics) even though
     the dataset is STATIC. Returns (graphs [W+1, ...], encodings tuple
     [W+1, ...], bucket)."""
-    from batch3dmot_tpu.train.data import uniform_bucket
+    from batch3dmot_tpu.train.data import single_bucket_for
 
     items = [
         (w, e)
@@ -357,17 +357,29 @@ def materialize_encoded_dataset(
         if w.num_nodes > 0 and w.num_edges > 0
     ]
     assert items, "materialize_encoded_dataset: no non-empty windows"
-    (mn, me), = uniform_bucket(
+    mn, me = single_bucket_for(
         [(w.num_nodes, w.num_edges) for w, _ in items], buckets
     )
-    singles = [
-        _assemble_encoded_batch([w], [e], 1, mn, me) for w, e in items
-    ]
-    singles.append(_assemble_encoded_batch([], [], 1, mn, me))  # empty slot
-    graphs = jax.tree.map(
-        lambda *xs: np.concatenate(xs, axis=0), *[g for g, _ in singles]
-    )
-    encs = jax.tree.map(
-        lambda *xs: np.concatenate(xs, axis=0), *[e for _, e in singles]
-    )
+
+    # fill preallocated [W+1, ...] buffers row by row — building W+1
+    # single-window batches and concatenating would transiently double
+    # the dataset's host RAM at exactly the scale this feature targets
+    W = len(items)
+
+    def alloc(a):
+        return np.zeros((W + 1, *a.shape[1:]), a.dtype)
+
+    g0, e0 = _assemble_encoded_batch([items[0][0]], [items[0][1]], 1, mn, me)
+    graphs = jax.tree.map(alloc, g0)
+    encs = tuple(alloc(a) for a in e0)
+
+    def fill(k, g1, e1):
+        jax.tree.map(lambda dst, src: dst.__setitem__(k, src[0]), graphs, g1)
+        for dst, src in zip(encs, e1):
+            dst[k] = src[0]
+
+    fill(0, g0, e0)
+    for k, (w, e) in enumerate(items[1:], start=1):
+        fill(k, *_assemble_encoded_batch([w], [e], 1, mn, me))
+    fill(W, *_assemble_encoded_batch([], [], 1, mn, me))  # empty slot
     return graphs, encs, (mn, me)

@@ -252,9 +252,6 @@ def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
     assert "device-resident dataset" in out
     assert history and np.isfinite(history[0]["train/loss"])
     assert history[-1]["train/loss"] <= history[0]["train/loss"] * 1.5
-    assert "val/avgprec" not in history[0] or np.isfinite(
-        history[0].get("val/avgprec", 0.0)
-    ) or True
     assert glob.glob(
         os.path.join(str(tmp_path), "models_dd", "gnn", "*mm*.msgpack")
     )

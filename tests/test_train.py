@@ -532,3 +532,16 @@ def test_fit_device_matches_host_steps():
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_single_bucket_for_outlier_fallback():
+    """Device-resident datasets need ONE bucket: when uniform_bucket's
+    outlier guard returns the multi-bucket fallback (a crowded trainval
+    scene), single_bucket_for pads to the densest window's bucket instead
+    of crashing the single-shape consumer."""
+    from batch3dmot_tpu.train.data import single_bucket_for, uniform_bucket
+
+    sizes = [(10, 20)] * 50 + [(500, 4000)]
+    assert len(uniform_bucket(sizes)) != 1  # the outlier guard trips
+    mn, me = single_bucket_for(sizes)
+    assert mn >= 500 and me >= 4000
