@@ -169,32 +169,39 @@ class EncoderTrainer:
         history = []
         for epoch in range(epochs):
             t0 = time.time()
+            # metrics stay DEVICE scalars until the epoch ends — a
+            # float() per batch is a host fetch per batch, ~0.1-0.2 s
+            # each through the TPU relay (CLAUDE.md relay economics)
             losses, auxs = [], []
             for batch in train_batches():
                 batch = self.shard_batch(batch)
                 self.state, loss, aux = self._train_step(self.state, batch)
-                losses.append(float(loss))
-                auxs.append({k: float(v) for k, v in aux.items()})
+                losses.append(loss)
+                auxs.append(aux)
             if not losses:
                 raise RuntimeError(
                     "encoder training epoch produced no batches — too few "
                     "annotations survive the min-points/ego-radius filters "
                     "for this batch size"
                 )
-            m = {"train/loss": float(np.mean(losses))}
+            m = {"train/loss": float(np.mean(np.asarray(jnp.stack(losses))))}
             for k in auxs[0]:
-                m[f"train/{k}"] = float(np.mean([a[k] for a in auxs]))
+                m[f"train/{k}"] = float(
+                    np.mean(np.asarray(jnp.stack([a[k] for a in auxs])))
+                )
             if val_batches is not None:
                 vl, va = [], []
                 for batch in val_batches():
                     batch = self.shard_batch(batch)
                     loss, aux = self._eval_step(self.state, batch)
-                    vl.append(float(loss))
-                    va.append({k: float(v) for k, v in aux.items()})
+                    vl.append(loss)
+                    va.append(aux)
                 if vl:
-                    m["val/loss"] = float(np.mean(vl))
+                    m["val/loss"] = float(np.mean(np.asarray(jnp.stack(vl))))
                 for k in (va[0] if va else {}):
-                    m[f"val/{k}"] = float(np.mean([a[k] for a in va]))
+                    m[f"val/{k}"] = float(
+                        np.mean(np.asarray(jnp.stack([a[k] for a in va])))
+                    )
             m["epoch_time_s"] = time.time() - t0
             history.append(m)
             if writer is not None:
