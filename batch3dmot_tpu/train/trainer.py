@@ -284,8 +284,8 @@ class GNNTrainer:
         metrics: Dict[str, List[float]] = defaultdict(list)
         if fused_steps <= 1:
             for batch in batcher.epoch(shuffle=True):
-                batch = self.shard_batch(batch)
-                self.state, loss, scores = self._train_step(self.state, batch)
+                dev = self.shard_batch(batch)
+                self.state, loss, scores = self._train_step(self.state, dev)
                 self._batch_metrics(metrics, "train", loss, scores, batch)
             return _nanmean_metrics(metrics)
 
@@ -301,8 +301,9 @@ class GNNTrainer:
             if len(group) > 1:
                 self._run_fused(metrics, group)  # one smaller fused program
             else:
-                batch = self.shard_batch(group[0])
-                self.state, loss, scores = self._train_step(self.state, batch)
+                batch = group[0]
+                dev = self.shard_batch(batch)
+                self.state, loss, scores = self._train_step(self.state, dev)
                 self._batch_metrics(metrics, "train", loss, scores, batch)
         return _nanmean_metrics(metrics)
 
@@ -331,8 +332,10 @@ class GNNTrainer:
     def eval_epoch(self, batcher: GraphBatcher) -> Dict[str, float]:
         metrics: Dict[str, List[float]] = defaultdict(list)
         for batch in batcher.epoch(shuffle=False):
-            batch = self.shard_batch(batch)
-            loss, scores = self._eval_step(self.state, batch)
+            dev = self.shard_batch(batch)
+            loss, scores = self._eval_step(self.state, dev)
+            # metrics read the HOST batch — the sharded copy's label/mask
+            # fields would cost a relay fetch per field per batch
             self._batch_metrics(metrics, "val", loss, scores, batch)
         return _nanmean_metrics(metrics)
 
