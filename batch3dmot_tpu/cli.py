@@ -323,14 +323,15 @@ def cmd_train_gnn(args) -> None:
     def _fit_device_dataset(train_ds, val_batcher):
         """Shared tail of the two --device-dataset branches: HBM budget
         guard (per chip, scaled by the mesh the dataset shards across),
-        then one scanned program per epoch (train/trainer.fit_device)."""
+        then one scanned program per bucket group per epoch
+        (train/trainer.fit_device)."""
         import jax
 
+        groups = train_ds if isinstance(train_ds, list) else [train_ds]
         ds_bytes = sum(
             a.nbytes
-            for a in jax.tree.leaves(
-                train_ds[0] if train_ds[1] is None else train_ds[:2]
-            )
+            for g in groups
+            for a in jax.tree.leaves(g[0] if g[1] is None else g[:2])
         )
         n_chips = mesh.size if mesh is not None else 1
         limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
@@ -341,10 +342,11 @@ def cmd_train_gnn(args) -> None:
                 "B3D_DEVICE_DATASET_GB or add --devices) — drop the flag "
                 "to stream"
             )
+        n_windows = sum(g[0].pose.shape[0] - 1 for g in groups)
         print(
             f"train-gnn: device-resident dataset "
-            f"({train_ds[0].pose.shape[0] - 1} windows, "
-            f"{ds_bytes / 2**20:.0f} MiB, bucket {train_ds[2]})"
+            f"({n_windows} windows, {ds_bytes / 2**20:.0f} MiB, "
+            f"buckets {[g[2] for g in groups]})"
         )
         log_dir = os.path.join(cfg.paths.models, "gnn")
         with _maybe_profile(getattr(args, "profile", None)):
@@ -368,7 +370,7 @@ def cmd_train_gnn(args) -> None:
                 "(the raw-modality dataset would re-run the frozen "
                 "encoders in-graph every step)"
             )
-        from batch3dmot_tpu.train.data import materialize_graph_dataset
+        from batch3dmot_tpu.train.data import materialize_graph_datasets
 
         windows = []
         for p in train_paths:
@@ -379,7 +381,7 @@ def cmd_train_gnn(args) -> None:
             else None
         )
         return _fit_device_dataset(
-            materialize_graph_dataset(windows), val_batcher
+            materialize_graph_datasets(windows), val_batcher
         )
     if getattr(args, "encoded", False):
         # Precompute the frozen encoders ONCE per scene and train the GNN on
@@ -418,7 +420,7 @@ def cmd_train_gnn(args) -> None:
             # Opt-in: the dataset must fit in (mesh-combined) HBM next to
             # the working set (the streaming default has no such bound).
             from batch3dmot_tpu.train.encoded import (
-                materialize_encoded_dataset,
+                materialize_encoded_datasets,
                 scene_encodings_cached,
             )
 
@@ -431,7 +433,7 @@ def cmd_train_gnn(args) -> None:
                     (w, enc) for w in GraphStoreReader(p).windows()
                 )
             return _fit_device_dataset(
-                materialize_encoded_dataset(items), val_batcher
+                materialize_encoded_datasets(items), val_batcher
             )
         # scene-streaming: memory bounded by one scene; encoding tables
         # persist next to the stores keyed by the encoder digest, so a

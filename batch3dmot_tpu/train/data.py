@@ -10,7 +10,7 @@ never change.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -143,12 +143,10 @@ def single_bucket_for(
     sizes, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
 ) -> Tuple[int, int]:
     """ONE bucket covering every (num_nodes, num_edges) — for the
-    device-resident datasets, which need a single uniform shape.
-    ``uniform_bucket``'s choice when its outlier guard allows one, else
-    the bucket fitting the densest window (the guard's multi-bucket
-    fallback would crash a single-shape consumer; here the padding waste
-    a crowded outlier causes is the accepted price — callers print the
-    chosen bucket)."""
+    device-resident datasets, which need a single uniform shape per
+    group. ``uniform_bucket``'s choice when its outlier guard allows
+    one, else the bucket fitting the densest window (the guard's
+    multi-bucket fallback would crash a single-shape consumer)."""
     out = uniform_bucket(sizes, buckets)
     if len(out) == 1:
         return out[0]
@@ -157,8 +155,44 @@ def single_bucket_for(
     )
 
 
-def materialize_graph_dataset(
+def group_sizes_by_bucket(
+    sizes, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
+):
+    """Item-index groups for the device-resident datasets: one group (the
+    ``uniform_bucket`` shape) when the outlier guard allows it, else one
+    group per occupied ``pick_bucket`` bucket — a crowded trainval scene
+    must not force EVERY step's shapes to the densest window's bucket
+    (~4x padding waste; the host batchers bucket per window for the same
+    reason). Returns [(bucket, [item indices])]."""
+    out = uniform_bucket(sizes, buckets)
+    if len(out) == 1:
+        return [(out[0], list(range(len(sizes))))]
+    by_bucket: Dict[Tuple[int, int], List[int]] = {}
+    for i, (n, e) in enumerate(sizes):
+        by_bucket.setdefault(pick_bucket(n, e, buckets), []).append(i)
+    return sorted(by_bucket.items())
+
+
+def materialize_graph_datasets(
     windows, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
+):
+    """List of device-resident dataset groups, one per occupied bucket
+    (``group_sizes_by_bucket``); ``GNNTrainer.fit_device`` runs one
+    scanned program per group per epoch."""
+    items = [w for w in windows if w.num_nodes > 0 and w.num_edges > 0]
+    assert items, "materialize_graph_datasets: no non-empty windows"
+    groups = group_sizes_by_bucket(
+        [(w.num_nodes, w.num_edges) for w in items], buckets
+    )
+    return [
+        materialize_graph_dataset([items[i] for i in idxs], bucket=b)
+        for b, idxs in groups
+    ]
+
+
+def materialize_graph_dataset(
+    windows, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+    bucket: Optional[Tuple[int, int]] = None,
 ):
     """The whole (modality-free) window set as ONE stacked pytree for
     DEVICE-RESIDENT training (``GNNTrainer.fit_device``; the pose-model
@@ -170,7 +204,7 @@ def materialize_graph_dataset(
 
     items = [w for w in windows if w.num_nodes > 0 and w.num_edges > 0]
     assert items, "materialize_graph_dataset: no non-empty windows"
-    mn, me = single_bucket_for(
+    mn, me = bucket or single_bucket_for(
         [(w.num_nodes, w.num_edges) for w in items], buckets
     )
 

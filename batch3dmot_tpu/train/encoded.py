@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -331,11 +331,35 @@ class EncodedGraphBatcher:
             )
 
 
+def materialize_encoded_datasets(
+    windows_with_encodings, buckets=DEFAULT_BUCKETS
+):
+    """List of device-resident dataset groups, one per occupied bucket
+    (``train.data.group_sizes_by_bucket``); ``GNNTrainer.fit_device``
+    runs one scanned program per group per epoch."""
+    from batch3dmot_tpu.train.data import group_sizes_by_bucket
+
+    items = [
+        (w, e)
+        for (w, e) in windows_with_encodings
+        if w.num_nodes > 0 and w.num_edges > 0
+    ]
+    assert items, "materialize_encoded_datasets: no non-empty windows"
+    groups = group_sizes_by_bucket(
+        [(w.num_nodes, w.num_edges) for w, _ in items], buckets
+    )
+    return [
+        materialize_encoded_dataset([items[i] for i in idxs], bucket=b)
+        for b, idxs in groups
+    ]
+
+
 def materialize_encoded_dataset(
     windows_with_encodings: Sequence[
         Tuple[WindowGraphArrays, Dict[str, np.ndarray]]
     ],
     buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+    bucket: Optional[Tuple[int, int]] = None,
 ) -> Tuple[PaddedGraph, Tuple, Tuple[int, int]]:
     """The whole encoded dataset as ONE stacked pytree for DEVICE-RESIDENT
     training (``GNNTrainer.fit_device``): every window padded to a single
@@ -357,7 +381,7 @@ def materialize_encoded_dataset(
         if w.num_nodes > 0 and w.num_edges > 0
     ]
     assert items, "materialize_encoded_dataset: no non-empty windows"
-    mn, me = single_bucket_for(
+    mn, me = bucket or single_bucket_for(
         [(w.num_nodes, w.num_edges) for w, _ in items], buckets
     )
 

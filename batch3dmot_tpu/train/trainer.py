@@ -447,62 +447,82 @@ class GNNTrainer:
         EncodedGraphBatcher: per-epoch window reshuffling, remainder
         batches padded with the fully-masked empty slot (index W). On a
         mesh the dataset shards along the window axis (one chip's HBM no
-        longer bounds it) and each step runs data-parallel."""
-        graphs_np, enc_np, _bucket = dataset
-        n_items = graphs_np.pose.shape[0] - 1  # last slot is the empty pad
+        longer bounds it) and each step runs data-parallel.
+
+        ``dataset`` may also be a LIST of per-bucket groups
+        (``materialize_*_datasets``): each epoch runs one scanned program
+        per group, in shuffled group order — faithful per-bucket padding
+        instead of forcing every step to the densest window's bucket.
+        (Ordering nuance vs the host batcher: batches are shuffled within
+        a group but groups run blockwise; with one group — the common
+        case — composition matches ``fit`` exactly.)"""
+        groups = dataset if isinstance(dataset, list) else [dataset]
         B = self.cfg.batch_size
-        if self.mesh is not None:
-            # shard the dataset along the WINDOW axis across the mesh —
-            # one chip's HBM no longer bounds the dataset (trainval-scale);
-            # per-step batch gathers ride ICI
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        uploaded = []
+        for graphs_np, enc_np, _bucket in groups:
+            n_items = graphs_np.pose.shape[0] - 1  # last slot: empty pad
+            if self.mesh is not None:
+                # shard the dataset along the WINDOW axis across the mesh —
+                # one chip's HBM no longer bounds it (trainval-scale);
+                # per-step batch gathers ride ICI
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
 
-            assert B % self.mesh.size == 0, (B, self.mesh.size)
-            pad_rows = (-(n_items + 1)) % self.mesh.size
-            if pad_rows:
-                # extra copies of the empty slot keep the axis divisible;
-                # index n_items stays the canonical empty row
-                dup = lambda a: np.concatenate(
-                    [a] + [a[-1:]] * pad_rows, axis=0
+                assert B % self.mesh.size == 0, (B, self.mesh.size)
+                pad_rows = (-(n_items + 1)) % self.mesh.size
+                if pad_rows:
+                    # extra copies of the empty slot keep the axis
+                    # divisible; index n_items stays the canonical empty row
+                    dup = lambda a: np.concatenate(
+                        [a] + [a[-1:]] * pad_rows, axis=0
+                    )
+                    graphs_np = jax.tree.map(dup, graphs_np)
+                    if enc_np is not None:
+                        enc_np = jax.tree.map(dup, enc_np)
+                shard = NamedSharding(self.mesh, P(DATA_AXIS))
+                graphs = jax.device_put(graphs_np, shard)
+                enc = (
+                    jax.device_put(enc_np, shard)
+                    if enc_np is not None else None
                 )
-                graphs_np = jax.tree.map(dup, graphs_np)
-                if enc_np is not None:
-                    enc_np = jax.tree.map(dup, enc_np)
-            shard = NamedSharding(self.mesh, P(DATA_AXIS))
-            graphs = jax.device_put(graphs_np, shard)
-            enc = (
-                jax.device_put(enc_np, shard) if enc_np is not None else None
-            )
-        else:
-            graphs = jax.device_put(graphs_np)
-            enc = jax.device_put(enc_np) if enc_np is not None else None
+            else:
+                graphs = jax.device_put(graphs_np)
+                enc = jax.device_put(enc_np) if enc_np is not None else None
+            uploaded.append((graphs, enc, graphs_np, n_items))
         rng = np.random.default_rng(seed)
         run = jax.jit(self._epoch_device, donate_argnums=0)
 
         history = []
         for epoch in range(epochs):
             t0 = time.time()
-            order = rng.permutation(n_items)
-            n_steps = -(-n_items // B)
-            pad = n_steps * B - n_items
-            idx = np.concatenate(
-                [order, np.full(pad, n_items, np.int64)]
-            ).reshape(n_steps, B).astype(np.int32)
-            self.state, (losses, scores) = run(
-                self.state, graphs, enc, jnp.asarray(idx)
-            )
-            # ONE fetch per epoch; per-step metrics come from the numpy
-            # dataset mirror gathered by idx (same numbers as fit())
-            losses = np.asarray(losses)
-            scores = np.asarray(scores)  # [n_steps, B, E]
             metrics: Dict[str, List[float]] = defaultdict(list)
-            for k in range(n_steps):
-                batch_np = jax.tree.map(lambda a: a[idx[k]], graphs_np)
-                self._batch_metrics(
-                    metrics, "train", losses[k], scores[k], batch_np
+            # no rng draw in the common single-group case (keeps the batch
+            # composition reproducible for the host-path exactness test)
+            g_order = (
+                rng.permutation(len(uploaded)) if len(uploaded) > 1 else [0]
+            )
+            for gi in g_order:
+                graphs, enc, graphs_np, n_items = uploaded[gi]
+                order = rng.permutation(n_items)
+                n_steps = -(-n_items // B)
+                pad = n_steps * B - n_items
+                idx = np.concatenate(
+                    [order, np.full(pad, n_items, np.int64)]
+                ).reshape(n_steps, B).astype(np.int32)
+                self.state, (losses, scores) = run(
+                    self.state, graphs, enc, jnp.asarray(idx)
                 )
+                # ONE fetch per group per epoch; per-step metrics come from
+                # the numpy dataset mirror gathered by idx (same numbers
+                # as fit())
+                losses = np.asarray(losses)
+                scores = np.asarray(scores)  # [n_steps, B, E]
+                for k in range(n_steps):
+                    batch_np = jax.tree.map(lambda a: a[idx[k]], graphs_np)
+                    self._batch_metrics(
+                        metrics, "train", losses[k], scores[k], batch_np
+                    )
             self._finish_epoch(
                 epoch, _nanmean_metrics(metrics), t0, history,
                 val_batcher=val_batcher, log_dir=log_dir, version=version,

@@ -545,3 +545,52 @@ def test_single_bucket_for_outlier_fallback():
     assert len(uniform_bucket(sizes)) != 1  # the outlier guard trips
     mn, me = single_bucket_for(sizes)
     assert mn >= 500 and me >= 4000
+
+
+def test_fit_device_multi_bucket_groups():
+    """When window sizes span buckets (uniform_bucket's outlier guard),
+    the plural materializers split into per-bucket groups and fit_device
+    runs one scanned program per group per epoch — instead of padding
+    every step to the densest window's bucket."""
+    import jax
+
+    from batch3dmot_tpu.train.data import (
+        group_sizes_by_bucket,
+        materialize_graph_datasets,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    small = [
+        w
+        for w in build_scene_graphs(
+            make_synthetic_scene(seed=0, num_frames=8, num_tracks=4), 3, gc
+        )
+        if w.num_edges > 0
+    ]
+    dense = [
+        w
+        for w in build_scene_graphs(
+            make_synthetic_scene(
+                seed=1, num_frames=6, num_tracks=40, fp_per_frame=5.0
+            ),
+            3,
+            GraphConstructionConfig(top_knn_nodes=10),
+        )
+        if w.num_edges > 0
+    ]
+    windows = small + dense
+    sizes = [(w.num_nodes, w.num_edges) for w in windows]
+    buckets = ((32, 128), (64, 512), (256, 2048))
+    groups = group_sizes_by_bucket(sizes, buckets)
+    assert len(groups) > 1, groups
+
+    ds = materialize_graph_datasets(windows, buckets=buckets)
+    assert len(ds) == len(groups)
+    assert sum(g[0].pose.shape[0] - 1 for g in ds) == len(windows)
+
+    example = to_padded(small[0], 32, 128)
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    tr = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0)
+    hist = tr.fit_device(ds, epochs=3, verbose=False, seed=1)
+    assert all(np.isfinite(m["train/loss"]) for m in hist)
+    assert hist[-1]["train/loss"] < hist[0]["train/loss"]
