@@ -320,14 +320,18 @@ def cmd_train_gnn(args) -> None:
         )
     _graft_encoder_checkpoints(args, trainer)
 
-    def _fit_device_dataset(train_ds, val_batcher):
+    def _fit_device_dataset(train_ds, val_ds):
         """Shared tail of the two --device-dataset branches: HBM budget
         guard (per chip, scaled by the mesh the dataset shards across),
         then one scanned program per bucket group per epoch
-        (train/trainer.fit_device)."""
+        (train/trainer.fit_device) — validation device-resident too."""
         import jax
 
         groups = train_ds if isinstance(train_ds, list) else [train_ds]
+        if val_ds is not None:
+            groups = groups + (
+                val_ds if isinstance(val_ds, list) else [val_ds]
+            )
         ds_bytes = sum(
             a.nbytes
             for g in groups
@@ -342,18 +346,19 @@ def cmd_train_gnn(args) -> None:
                 "B3D_DEVICE_DATASET_GB or add --devices) — drop the flag "
                 "to stream"
             )
-        n_windows = sum(g[0].pose.shape[0] - 1 for g in groups)
+        tgroups = train_ds if isinstance(train_ds, list) else [train_ds]
+        n_windows = sum(g[0].pose.shape[0] - 1 for g in tgroups)
         print(
             f"train-gnn: device-resident dataset "
-            f"({n_windows} windows, {ds_bytes / 2**20:.0f} MiB, "
-            f"buckets {[g[2] for g in groups]})"
+            f"({n_windows} train windows, {ds_bytes / 2**20:.0f} MiB "
+            f"incl. val, buckets {[g[2] for g in tgroups]})"
         )
         log_dir = os.path.join(cfg.paths.models, "gnn")
         with _maybe_profile(getattr(args, "profile", None)):
             history = trainer.fit_device(
                 train_ds,
                 epochs=args.epochs or cfg.gnn.num_epochs,
-                val_batcher=val_batcher,
+                val_dataset=val_ds,
                 log_dir=log_dir,
                 version=f"{cfg.main.version}-{args.model}",
                 writer=MetricWriter(log_dir),
@@ -375,13 +380,13 @@ def cmd_train_gnn(args) -> None:
         windows = []
         for p in train_paths:
             windows.extend(GraphStoreReader(p).windows())
-        val_batcher = (
-            make_batcher(val_paths, cfg.gnn.batch_size, uniform=True)
-            if val_paths
-            else None
-        )
+        val_windows = [
+            w for p in val_paths for w in GraphStoreReader(p).windows()
+            if w.num_nodes > 0 and w.num_edges > 0
+        ]
         return _fit_device_dataset(
-            materialize_graph_datasets(windows), val_batcher
+            materialize_graph_datasets(windows),
+            materialize_graph_datasets(val_windows) if val_windows else None,
         )
     if getattr(args, "encoded", False):
         # Precompute the frozen encoders ONCE per scene and train the GNN on
@@ -403,14 +408,6 @@ def cmd_train_gnn(args) -> None:
                 )
             return scene
 
-        val_batcher = (
-            StreamingEncodedBatcher(
-                val_paths, model, trainer.variables, scene_loader,
-                cfg.gnn.batch_size, uniform=True,
-            )
-            if val_paths
-            else None
-        )
         if getattr(args, "device_dataset", False):
             # DEVICE-RESIDENT dataset: every window uploads once and each
             # epoch runs as one scanned program gathering batches on
@@ -424,16 +421,24 @@ def cmd_train_gnn(args) -> None:
                 scene_encodings_cached,
             )
 
-            items = []
-            for p in train_paths:
-                enc = scene_encodings_cached(
-                    model, trainer.variables, p, scene_loader
-                )
-                items.extend(
-                    (w, enc) for w in GraphStoreReader(p).windows()
-                )
+            def encoded_items(paths):
+                items = []
+                for p in paths:
+                    enc = scene_encodings_cached(
+                        model, trainer.variables, p, scene_loader
+                    )
+                    items.extend(
+                        (w, enc)
+                        for w in GraphStoreReader(p).windows()
+                        if w.num_nodes > 0 and w.num_edges > 0
+                    )
+                return items
+
+            val_items = encoded_items(val_paths)
             return _fit_device_dataset(
-                materialize_encoded_datasets(items), val_batcher
+                materialize_encoded_datasets(encoded_items(train_paths)),
+                materialize_encoded_datasets(val_items)
+                if val_items else None,
             )
         # scene-streaming: memory bounded by one scene; encoding tables
         # persist next to the stores keyed by the encoder digest, so a
@@ -442,6 +447,14 @@ def cmd_train_gnn(args) -> None:
         train_batcher = StreamingEncodedBatcher(
             train_paths, model, trainer.variables, scene_loader,
             cfg.gnn.batch_size, uniform=True,
+        )
+        val_batcher = (
+            StreamingEncodedBatcher(
+                val_paths, model, trainer.variables, scene_loader,
+                cfg.gnn.batch_size, uniform=True,
+            )
+            if val_paths
+            else None
         )
     else:
         train_batcher = make_batcher(

@@ -395,41 +395,102 @@ class GNNTrainer:
 
     # ---- device-resident dataset training ---------------------------------
 
+    def _constrain_data(self, tree):
+        """Re-shard a gathered batch along its batch axis on a mesh (the
+        dataset is sharded along the window axis; the constraint keeps the
+        step data-parallel — params replicated -> XLA inserts the gradient
+        psum, parallel/mesh.py). No-op off-mesh."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+        s = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, s), tree
+        )
+
+    def _gather_device_batch(self, graphs, enc, ib):
+        batch = self._constrain_data(jax.tree.map(lambda a: a[ib], graphs))
+        if enc is not None:
+            batch = (
+                batch,
+                self._constrain_data(jax.tree.map(lambda a: a[ib], enc)),
+            )
+        return batch
+
     def _epoch_device(self, state, graphs, enc, idx):
         """One epoch as ONE program: scan over [n_steps, B] index rows,
         gathering each batch from the device-resident dataset in-graph.
         ``enc`` is None for pose-model (modality-free) datasets."""
 
-        def constrain(tree):
-            if self.mesh is None:
-                return tree
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from batch3dmot_tpu.parallel.mesh import DATA_AXIS
-
-            s = NamedSharding(self.mesh, P(DATA_AXIS))
-            return jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, s), tree
-            )
-
         def body(st, ib):
-            # the dataset is sharded along the window axis on a mesh; the
-            # gathered batch re-shards along its batch axis so the step
-            # runs data-parallel (params replicated -> XLA inserts the
-            # gradient psum, parallel/mesh.py)
-            batch = constrain(jax.tree.map(lambda a: a[ib], graphs))
-            if enc is not None:
-                batch = (batch, constrain(jax.tree.map(lambda a: a[ib], enc)))
-            st, loss, scores = self._step(st, batch)
+            st, loss, scores = self._step(
+                st, self._gather_device_batch(graphs, enc, ib)
+            )
             return st, (loss, scores)
 
         return jax.lax.scan(body, state, idx)
+
+    def _epoch_device_eval(self, state, graphs, enc, idx):
+        """Validation counterpart of ``_epoch_device``: one scanned program
+        over fixed (unshuffled) batch index rows, no state update — a whole
+        val pass costs one dispatch + one metrics fetch per group, instead
+        of an upload + dispatch + fetches per batch (the relay economics
+        that motivated device-resident training apply to validation too)."""
+
+        def body(c, ib):
+            loss, scores = self._forward_metrics(
+                state, self._gather_device_batch(graphs, enc, ib)
+            )
+            return c, (loss, scores)
+
+        return jax.lax.scan(body, 0, idx)[1]
+
+    def _upload_dataset_groups(self, groups):
+        """Upload device-resident dataset groups ONCE (on a mesh: shard
+        along the window axis, padding with copies of the empty slot so the
+        axis divides — index n_items stays the canonical empty row).
+        Returns [(graphs_dev, enc_dev, graphs_np, n_items)]."""
+        B = self.cfg.batch_size
+        uploaded = []
+        for graphs_np, enc_np, _bucket in groups:
+            n_items = graphs_np.pose.shape[0] - 1  # last slot: empty pad
+            if self.mesh is not None:
+                # one chip's HBM no longer bounds the dataset
+                # (trainval-scale); per-step batch gathers ride ICI
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+                assert B % self.mesh.size == 0, (B, self.mesh.size)
+                pad_rows = (-(n_items + 1)) % self.mesh.size
+                if pad_rows:
+                    dup = lambda a: np.concatenate(
+                        [a] + [a[-1:]] * pad_rows, axis=0
+                    )
+                    graphs_np = jax.tree.map(dup, graphs_np)
+                    if enc_np is not None:
+                        enc_np = jax.tree.map(dup, enc_np)
+                shard = NamedSharding(self.mesh, P(DATA_AXIS))
+                graphs = jax.device_put(graphs_np, shard)
+                enc = (
+                    jax.device_put(enc_np, shard)
+                    if enc_np is not None else None
+                )
+            else:
+                graphs = jax.device_put(graphs_np)
+                enc = jax.device_put(enc_np) if enc_np is not None else None
+            uploaded.append((graphs, enc, graphs_np, n_items))
+        return uploaded
 
     def fit_device(
         self,
         dataset,
         epochs: int = 1,
         val_batcher=None,
+        val_dataset=None,
         log_dir: Optional[str] = None,
         version: str = "synthetic",
         verbose: bool = True,
@@ -455,41 +516,36 @@ class GNNTrainer:
         instead of forcing every step to the densest window's bucket.
         (Ordering nuance vs the host batcher: batches are shuffled within
         a group but groups run blockwise; with one group — the common
-        case — composition matches ``fit`` exactly.)"""
+        case — composition matches ``fit`` exactly.)
+
+        ``val_dataset`` (same materialized forms) keeps validation
+        device-resident too: each epoch's val pass is one scanned program
+        per group over FIXED sequential batch rows — same numbers as
+        ``eval_epoch`` on an unshuffled uniform batcher. Mutually
+        exclusive with ``val_batcher`` (the host-streaming fallback)."""
         groups = dataset if isinstance(dataset, list) else [dataset]
         B = self.cfg.batch_size
-        uploaded = []
-        for graphs_np, enc_np, _bucket in groups:
-            n_items = graphs_np.pose.shape[0] - 1  # last slot: empty pad
-            if self.mesh is not None:
-                # shard the dataset along the WINDOW axis across the mesh —
-                # one chip's HBM no longer bounds it (trainval-scale);
-                # per-step batch gathers ride ICI
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
-
-                assert B % self.mesh.size == 0, (B, self.mesh.size)
-                pad_rows = (-(n_items + 1)) % self.mesh.size
-                if pad_rows:
-                    # extra copies of the empty slot keep the axis
-                    # divisible; index n_items stays the canonical empty row
-                    dup = lambda a: np.concatenate(
-                        [a] + [a[-1:]] * pad_rows, axis=0
-                    )
-                    graphs_np = jax.tree.map(dup, graphs_np)
-                    if enc_np is not None:
-                        enc_np = jax.tree.map(dup, enc_np)
-                shard = NamedSharding(self.mesh, P(DATA_AXIS))
-                graphs = jax.device_put(graphs_np, shard)
-                enc = (
-                    jax.device_put(enc_np, shard)
-                    if enc_np is not None else None
+        uploaded = self._upload_dataset_groups(groups)
+        val_uploaded = None
+        if val_dataset is not None:
+            assert val_batcher is None, "pass val_dataset OR val_batcher"
+            vgroups = (
+                val_dataset if isinstance(val_dataset, list)
+                else [val_dataset]
+            )
+            val_uploaded = []
+            for graphs, enc, graphs_np, n_items in (
+                self._upload_dataset_groups(vgroups)
+            ):
+                n_steps = -(-n_items // B)
+                pad = n_steps * B - n_items
+                idx = np.concatenate(
+                    [np.arange(n_items), np.full(pad, n_items, np.int64)]
+                ).reshape(n_steps, B).astype(np.int32)
+                val_uploaded.append(
+                    (graphs, enc, graphs_np, idx, jnp.asarray(idx))
                 )
-            else:
-                graphs = jax.device_put(graphs_np)
-                enc = jax.device_put(enc_np) if enc_np is not None else None
-            uploaded.append((graphs, enc, graphs_np, n_items))
+            eval_run = jax.jit(self._epoch_device_eval)
         rng = np.random.default_rng(seed)
         run = jax.jit(self._epoch_device, donate_argnums=0)
 
@@ -523,6 +579,20 @@ class GNNTrainer:
                     self._batch_metrics(
                         metrics, "train", losses[k], scores[k], batch_np
                     )
+            if val_uploaded is not None:
+                for graphs, enc, graphs_np, idx, idx_dev in val_uploaded:
+                    losses, scores = eval_run(
+                        self.state, graphs, enc, idx_dev
+                    )
+                    losses = np.asarray(losses)
+                    scores = np.asarray(scores)
+                    for k in range(idx.shape[0]):
+                        batch_np = jax.tree.map(
+                            lambda a: a[idx[k]], graphs_np
+                        )
+                        self._batch_metrics(
+                            metrics, "val", losses[k], scores[k], batch_np
+                        )
             self._finish_epoch(
                 epoch, _nanmean_metrics(metrics), t0, history,
                 val_batcher=val_batcher, log_dir=log_dir, version=version,

@@ -594,3 +594,51 @@ def test_fit_device_multi_bucket_groups():
     hist = tr.fit_device(ds, epochs=3, verbose=False, seed=1)
     assert all(np.isfinite(m["train/loss"]) for m in hist)
     assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+
+
+def test_fit_device_val_dataset_matches_eval_epoch():
+    """Device-resident validation (one scanned eval program over fixed
+    sequential batch rows per epoch) must report the same val metrics as
+    ``eval_epoch`` on an unshuffled uniform host batcher — same batch
+    composition: sequential order, remainder padded with the empty slot."""
+    from batch3dmot_tpu.train.data import materialize_graph_datasets
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    train_w = [
+        w
+        for w in build_scene_graphs(
+            make_synthetic_scene(seed=0, num_frames=8, num_tracks=4), 3, gc
+        )
+        if w.num_edges > 0
+    ]
+    val_w = [
+        w
+        for w in build_scene_graphs(
+            make_synthetic_scene(seed=5, num_frames=7, num_tracks=4), 3, gc
+        )
+        if w.num_edges > 0
+    ]
+    if len(val_w) % 2 == 0:
+        val_w = val_w[:-1]  # force a remainder batch at batch_size=2
+    example = to_padded(train_w[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    tr = GNNTrainer(PoseGNN(depth=2), example, cfg, seed=0)
+
+    hist = tr.fit_device(
+        materialize_graph_datasets(train_w, buckets=BUCKETS),
+        epochs=2,
+        val_dataset=materialize_graph_datasets(val_w, buckets=BUCKETS),
+        verbose=False,
+        seed=1,
+    )
+    assert all(np.isfinite(m["val/loss"]) for m in hist)
+
+    # the final state's host eval on the same composition must agree
+    batcher = GraphBatcher(
+        val_w, batch_size=2, buckets=BUCKETS, uniform=True
+    )
+    m = tr.eval_epoch(batcher)
+    assert hist[-1]["val/loss"] == pytest.approx(m["val/loss"], rel=1e-4)
+    assert hist[-1]["val/avgprec"] == pytest.approx(
+        m["val/avgprec"], rel=1e-3
+    )
