@@ -511,3 +511,145 @@ def radar_batches(
             tname = CATEGORY_TO_TRACKING_NAME[e["category_name"]]
             labels.append(TRACKING_CLASSES[tname] - 1)
         yield np.stack(pcs), np.array(labels, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident encoder datasets (one host pass; per-epoch randomness —
+# augmentation, subsampling — moves IN-GRAPH, train/encoders.py transforms)
+# ---------------------------------------------------------------------------
+
+
+def _entry_label(e: dict) -> int:
+    return TRACKING_CLASSES[CATEGORY_TO_TRACKING_NAME[e["category_name"]]] - 1
+
+
+def materialize_image_dataset(
+    dataroot: str, entries: List[dict], res_size: int = 32,
+    color_enhance: float = 2.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Every crop decoded ONCE -> (uint8 [N, R, R, 3], labels [N]) for
+    DEVICE-RESIDENT encoder training (``EncoderTrainer.fit_device``).
+    uint8 storage is 4x smaller than f32 on device; the in-graph transform
+    casts /255 — bit-identical to ``image_batches``'s host conversion.
+    (The reference re-decodes every crop every epoch,
+    ``utils/dataset.py:146-160`` — on this machine's single host core that,
+    not the accelerator, bounds epoch time.)"""
+    from PIL import Image, ImageEnhance
+
+    imgs, labels = [], []
+    for e in entries:
+        img = Image.open(os.path.join(dataroot, e["filename"])).convert("RGB")
+        c = e["bbox_corners"]
+        crop = img.crop((round(c[0]), round(c[1]), round(c[2]), round(c[3])))
+        crop = ImageEnhance.Color(crop).enhance(color_enhance)
+        crop = crop.resize((res_size, res_size), Image.BILINEAR)
+        imgs.append(np.asarray(crop, np.uint8))
+        labels.append(_entry_label(e))
+    return np.stack(imgs), np.array(labels, np.int32)
+
+
+def materialize_lidar_dataset(
+    npy_dir: str,
+    entries: List[dict],
+    min_pts: int = 6,
+    ego_rad: Tuple[float, float] = (1.0, 50.0),
+    num_points: int = 128,
+    cap_factor: int = 4,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RAW (un-augmented, un-normalized) per-annotation clouds, zero-padded
+    to one width -> (clouds f32 [N, C, Kcap], counts i32 [N], labels [N]).
+    ALL stored channels are kept: the reference's quirky normalization
+    mixes xyz with intensity/ring/time (``reference_normalize``), so the
+    in-graph transform needs them even though the model consumes only the
+    first 3. Augmentation, normalization and the fixed-size collate all
+    run IN-GRAPH per epoch (``train/encoders.lidar_transform``) so the
+    per-epoch randomness of the host loader is preserved. Clouds beyond
+    Kcap = cap_factor * num_points are subsampled once at load (only
+    those rare clouds lose re-draw diversity across epochs)."""
+    rng = rng or np.random.default_rng(0)
+    valid = [
+        e for e in entries
+        if e["num_lidar_pts"] > min_pts
+        and ego_rad[0] < e["ann_ego_radius"] < ego_rad[1]
+    ]
+    kcap = max(1, cap_factor * num_points)
+    clouds, counts, labels = [], [], []
+    nch = None
+    for e in valid:
+        pc = np.load(
+            os.path.join(npy_dir, f"{e['sample_annotation_token']}.npy")
+        )
+        if nch is None:
+            nch = pc.shape[0]
+        assert pc.shape[0] == nch, (pc.shape, nch)
+        k = pc.shape[1]
+        if k > kcap:
+            pc = pc[:, rng.choice(k, size=kcap, replace=False)]
+            k = kcap
+        out = np.zeros((nch, kcap), np.float32)
+        out[:, :k] = pc
+        clouds.append(out)
+        counts.append(k)
+        labels.append(_entry_label(e))
+    if not clouds:
+        return (
+            np.zeros((0, 4, kcap), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+        )
+    return (
+        np.stack(clouds),
+        np.array(counts, np.int32),
+        np.array(labels, np.int32),
+    )
+
+
+def materialize_radar_dataset(
+    npy_dir: str,
+    entries: List[dict],
+    min_pts: int = 2,
+    ego_rad: Tuple[float, float] = (1.0, 50.0),
+    num_points: int = 64,
+    cap_factor: int = 4,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Normalized radar 4-vectors [x, y, vx_comp, vy_comp], zero-padded to
+    one width -> (vecs f32 [N, 4, Kcap], counts i32 [N], labels [N]).
+    Normalization is deterministic (``encoder_dataset_normalize``) so it
+    runs here; only the fixed-size collate subsample is per-epoch random
+    and moves in-graph (``train/encoders.radar_transform``)."""
+    rng = rng or np.random.default_rng(0)
+    valid = [
+        e for e in entries
+        if e["num_radar_pts"] >= min_pts
+        and ego_rad[0] < e["ann_ego_radius"] < ego_rad[1]
+    ]
+    kcap = max(1, cap_factor * num_points)
+    vecs, counts, labels = [], [], []
+    for e in valid:
+        pc = np.load(
+            os.path.join(npy_dir, f"{e['sample_annotation_token']}.npy")
+        )
+        pc = mod.encoder_dataset_normalize(pc)
+        vec = pc[[0, 1, 8, 9], :].astype(np.float32)
+        k = vec.shape[1]
+        if k > kcap:
+            vec = vec[:, rng.choice(k, size=kcap, replace=False)]
+            k = kcap
+        out = np.zeros((4, kcap), np.float32)
+        out[:, :k] = vec
+        vecs.append(out)
+        counts.append(k)
+        labels.append(_entry_label(e))
+    if not vecs:
+        return (
+            np.zeros((0, 4, kcap), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+        )
+    return (
+        np.stack(vecs),
+        np.array(counts, np.int32),
+        np.array(labels, np.int32),
+    )
