@@ -534,6 +534,84 @@ def _synthetic_encoder_batches(prefix: str, batch_size: int = 8, n: int = 16):
     ]
 
 
+def _encoder_device_dataset(
+    cfg, args, make_trainer, prefix, pre, bs, train_entries, val_entries,
+    mesh,
+):
+    """--device-dataset tail of the encoder commands: decode/load every
+    item once (``data/preprocess.materialize_*_dataset``), upload the
+    stacked arrays, and train with ``EncoderTrainer.fit_device`` — the
+    host loaders' per-epoch randomness runs in-graph
+    (``train/encoders.{image,lidar,radar}_transform``)."""
+    import jax
+
+    from batch3dmot_tpu.train import encoders as enc_mod
+
+    enc_cfg = getattr(cfg, prefix)
+    enc_cfg.batch_size = bs  # mesh-rounded; fit_device reads cfg.batch_size
+    if prefix == "resnet":
+        from batch3dmot_tpu.data.preprocess import materialize_image_dataset
+
+        mat = lambda entries: materialize_image_dataset(  # noqa: E731
+            cfg.paths.data, entries, res_size=cfg.resnet.res_size
+        )
+        transform = enc_mod.image_transform(cfg.resnet.res_size)
+    elif prefix == "pointnet":
+        from batch3dmot_tpu.data.preprocess import materialize_lidar_dataset
+
+        mat = lambda entries: materialize_lidar_dataset(  # noqa: E731
+            os.path.join(pre, "lidar"), entries,
+            min_pts=cfg.pointnet.min_lidar_pts,
+            ego_rad=(cfg.pointnet.ego_rad_min, cfg.pointnet.ego_rad_max),
+            num_points=cfg.pointnet.num_points,
+            rng=np.random.default_rng(enc_cfg.manual_seed),
+        )
+        transform = enc_mod.lidar_transform(cfg.pointnet.num_points)
+    else:
+        from batch3dmot_tpu.data.preprocess import materialize_radar_dataset
+
+        mat = lambda entries: materialize_radar_dataset(  # noqa: E731
+            os.path.join(pre, "radar"), entries,
+            min_pts=cfg.radarnet.min_radar_pts,
+            ego_rad=(cfg.radarnet.ego_rad_min, cfg.radarnet.ego_rad_max),
+            num_points=cfg.radarnet.num_points,
+            rng=np.random.default_rng(enc_cfg.manual_seed),
+        )
+        transform = enc_mod.radar_transform(cfg.radarnet.num_points)
+
+    train_ds = mat(train_entries)
+    val_ds = mat(val_entries) if len(val_entries) >= bs else None
+    ds_bytes = sum(
+        a.nbytes
+        for ds in ([train_ds] + ([val_ds] if val_ds is not None else []))
+        for a in jax.tree.leaves(ds)
+    )
+    n_chips = mesh.size if mesh is not None else 1
+    limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
+    if ds_bytes > limit_gb * 2**30 * n_chips:
+        raise SystemExit(
+            f"--device-dataset: dataset is {ds_bytes / 2**30:.1f} GiB "
+            f"(> {limit_gb} GiB/chip x {n_chips}; override with "
+            "B3D_DEVICE_DATASET_GB or add --devices) — drop the flag "
+            "to stream"
+        )
+    n_train = jax.tree.leaves(train_ds)[0].shape[0]
+    print(
+        f"train-{prefix}: device-resident dataset ({n_train} train items, "
+        f"{ds_bytes / 2**20:.0f} MiB incl. val, batch {bs})"
+    )
+    trainer = make_trainer(steps_per_epoch=max(1, n_train // bs), mesh=mesh)
+    return trainer.fit_device(
+        train_ds,
+        transform=transform,
+        val_dataset=val_ds,
+        epochs=args.epochs or enc_cfg.num_epochs,
+        log_dir=os.path.join(cfg.paths.models, prefix),
+        prefix=prefix,
+        seed=enc_cfg.manual_seed,
+    )
+
+
 def _encoder_cmd(args, make_trainer, prefix: str):
     """Shared body of train-resnet / train-pointnet / train-radarnet.
 
@@ -594,6 +672,11 @@ def _encoder_cmd(args, make_trainer, prefix: str):
             raise SystemExit(
                 f"train-{prefix}: only {len(train_entries)} usable annotations "
                 f"< batch_size {bs}; lower {prefix}.batch_size"
+            )
+        if getattr(args, "device_dataset", False):
+            return _encoder_device_dataset(
+                cfg, args, make_trainer, prefix, pre, bs,
+                train_entries, val_entries, mesh,
             )
         rng = np.random.default_rng(enc_cfg.manual_seed)
         if prefix == "resnet":
@@ -1412,6 +1495,15 @@ def main(argv: Optional[List[str]] = None) -> None:
         p.add_argument("--epochs", type=int, default=None)
         p.add_argument("--synthetic", action="store_true",
                        help="train on random shape-compatible batches")
+        p.add_argument("--device-dataset", action="store_true",
+                       help="decode/load every item ONCE, upload the stacked "
+                            "dataset to the device, and run each epoch as "
+                            "one scanned program with the loader's per-epoch "
+                            "randomness (augmentation, subsampling) in-graph "
+                            "— removes both the per-epoch host decode work "
+                            "and the per-batch relay round trips; with "
+                            "--devices N the dataset shards across the mesh "
+                            "(B3D_DEVICE_DATASET_GB budget per chip)")
         p.set_defaults(fn=fn)
 
     p = devices_arg(common(sub.add_parser("predict")))

@@ -75,6 +75,34 @@ def test_encoder_cli_trains_on_real_artifacts(preprocessed, cmd, section):
     assert ckpts
 
 
+@pytest.mark.parametrize(
+    "cmd,section",
+    [
+        ("train-resnet", "resnet"),
+        ("train-pointnet", "pointnet"),
+        ("train-radarnet", "radarnet"),
+    ],
+)
+def test_encoder_cli_device_dataset(preprocessed, cmd, section):
+    """--device-dataset trains each encoder on the materialized artifacts
+    (decode-once upload + one scanned program per epoch); --devices 2
+    shards the dataset across the CPU mesh."""
+    tmp, _, common = preprocessed
+    history = main([
+        cmd, "--epochs", "2", "--device-dataset", "--devices", "2",
+        *common,
+        "--set", f"{section}.batch_size=2",
+    ])
+    assert len(history) == 2 and "train/loss" in history[0]
+    assert all(h["train/loss"] == h["train/loss"] for h in history)  # no NaN
+    import glob
+
+    ckpts = glob.glob(
+        os.path.join(tmp, "nuscenes", "models", section, f"{section}_*.msgpack")
+    )
+    assert ckpts
+
+
 def test_encoder_cli_synthetic_flag(preprocessed):
     tmp, _, common = preprocessed
     history = main([
