@@ -31,7 +31,10 @@ def test_step_timer_summary():
             time.sleep(0.01)
     s = t.summary()
     assert s["steps"] == 3
-    assert 0.005 < s["mean_s"] < 0.2
+    # upper bound only guards against unit errors (ms/ns recorded as s);
+    # it must survive a loaded single-core host where sleep(0.01) can
+    # take hundreds of ms wall-clock
+    assert 0.005 < s["mean_s"] < 5.0
 
 
 def test_checkpoint_roundtrip(tmp_path):
