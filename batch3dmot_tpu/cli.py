@@ -918,7 +918,7 @@ def _run_predict(
     # executable-load overhead on a 12-scene split before this.
     from batch3dmot_tpu.graph import DEFAULT_BUCKETS as _DB
 
-    run_buckets, run_m_pad = _DB, None
+    run_buckets, run_m_pad, run_nb = _DB, None, 0
     if pipeline != "device" and scene_iter:
         from batch3dmot_tpu.infer.predict import _pad_detection_count
 
@@ -938,6 +938,13 @@ def _run_predict(
             run_m_pad = max(
                 _pad_detection_count(s.num_detections) for s, _ in scene_iter
             )
+            run_nb = max(
+                (
+                    sum(1 for w in ws if w.num_nodes and w.num_edges)
+                    for _, ws in scene_iter
+                ),
+                default=0,
+            )
 
     # Two-stage software pipeline: the next batch's scoring (device
     # dispatch + relay fetch, GIL released) runs on a worker thread while
@@ -951,7 +958,16 @@ def _run_predict(
     from concurrent.futures import ThreadPoolExecutor
 
     group_size = (
-        max(1, cfg.predict.scenes_per_batch) if pipeline == "device" else 1
+        max(1, cfg.predict.scenes_per_batch)
+        if pipeline in ("device", "encoded")
+        else 1
+    )
+    # run-global scan length for grouped encoded scoring: covers any group
+    # (every distinct stack depth is its own compiled program)
+    enc_num_batches = (
+        -(-group_size * run_nb // cfg.predict.windows_per_batch)
+        if run_nb
+        else None
     )
 
     def _results_path(scene):
@@ -971,6 +987,20 @@ def _run_predict(
                 )
                 out.append((greedy_round(kept), avg, len(avg)))
             return out
+        if pipeline == "encoded" and group_size > 1:
+            # cross-scene grouped encode + one scanned scoring dispatch per
+            # group (partial last groups pad to group_size: same program)
+            from batch3dmot_tpu.infer.predict import predict_scenes
+
+            outs = predict_scenes(
+                scorer, items, cfg,
+                buckets=run_buckets, m_pad=run_m_pad,
+                group_pad=group_size, num_batches=enc_num_batches,
+            )
+            return [
+                (pe, avg, sum(w.num_edges for w in ws))
+                for (pe, avg), (_, ws) in zip(outs, items)
+            ]
         return [_score_one(s, w) for s, w in items]
 
     def _items():

@@ -201,8 +201,7 @@ class SceneEncodedScorer:
             f32 = jnp.float32
             return x_img.astype(f32), pn.astype(f32), rn.astype(f32), lp, rp
 
-        @jax.jit
-        def fwd(variables, batch, det_index, enc):
+        def fwd_inner(variables, batch, det_index, enc):
             from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
             x_img, pn, rn, lp, rp = enc
@@ -236,8 +235,27 @@ class SceneEncodedScorer:
 
             return jax.vmap(one)(batch, det_index)
 
+        fwd = jax.jit(fwd_inner)
+
+        # Scanned multi-batch forward for cross-scene grouped scoring:
+        # batches' leaves carry a leading [NB] stack dimension and all NB
+        # window batches are scored in ONE dispatch (lax.scan keeps the
+        # fused Pallas kernel on its single-batch shape — vmap cannot, see
+        # docs/KERNELS.md). One program + one fetch per scene GROUP instead
+        # of one round trip per window batch: through the TPU relay each
+        # round trip costs ~0.1-1 s, which dominates multi-scene predict.
+        @jax.jit
+        def fwd_stack(variables, batches, det_indices, enc):
+            def step(carry, bd):
+                b, di = bd
+                return carry, fwd_inner(variables, b, di, enc)
+
+            _, scores = jax.lax.scan(step, 0, (batches, det_indices))
+            return scores
+
         self._encode = lambda *a: encode(self.variables, *a)
         self._fwd = lambda *a: fwd(self.variables, *a)
+        self._fwd_stack = lambda *a: fwd_stack(self.variables, *a)
 
     def score_scene(
         self,
@@ -325,6 +343,123 @@ class SceneEncodedScorer:
                 )
                 for slot, i in enumerate(chunk):
                     results[i] = scores[slot, : windows[i].num_edges]
+        return results  # type: ignore[return-value]
+
+    def score_scenes(
+        self,
+        scenes: Sequence["SceneDetections"],
+        windows_list: Sequence[Sequence[WindowGraphArrays]],
+        windows_per_batch: int = 8,
+        buckets=DEFAULT_BUCKETS,
+        m_pad: Optional[int] = None,
+        group_pad: Optional[int] = None,
+        num_batches: Optional[int] = None,
+    ) -> List[List[np.ndarray]]:
+        """Cross-scene grouped scoring: ONE encode dispatch for the whole
+        scene group (detections stacked at ``g * m_pad`` row offsets) and ONE
+        scanned scoring dispatch + fetch per bucket, pooling every scene's
+        windows into shared batches.
+
+        The reference amortizes per-scene overhead by fanning scenes out over
+        a ray pool (``predict.py:636-650``); here the per-scene cost is relay
+        round trips, so the fan-in is batching: per group of G scenes this
+        path pays ~3 round trips where :meth:`score_scene` pays
+        ``G * (1 + ceil(windows / windows_per_batch) * 2)``.
+
+        ``group_pad``/``m_pad``/``num_batches`` pin the program shapes —
+        multi-group callers should pass run-global values so every group
+        reuses one compiled program (each distinct shape costs seconds of
+        executable load through a relay). Returns per-scene lists of
+        per-window score arrays, identical to :meth:`score_scene`.
+        """
+        import jax.numpy as jnp
+
+        if self.mesh is not None:
+            # multi-chip shards the WINDOW batch dim; the scanned stack adds
+            # a leading [NB] axis the shard helper does not map over — keep
+            # the per-scene path, which already shards correctly.
+            return [
+                self.score_scene(
+                    s, ws, windows_per_batch, buckets, m_pad=m_pad
+                )
+                for s, ws in zip(scenes, windows_list)
+            ]
+
+        G = group_pad if group_pad is not None else len(scenes)
+        assert len(scenes) <= G, (len(scenes), G)
+        if m_pad is None:
+            m_pad = max(
+                _pad_detection_count(s.num_detections) for s in scenes
+            )
+        for s in scenes:
+            assert m_pad >= s.num_detections, (m_pad, s.num_detections)
+
+        from batch3dmot_tpu.graph import IMG_SHAPE, LIDAR_SHAPE, RADAR_SHAPE
+
+        def padg(get, shape_tail):
+            out = np.zeros((G * m_pad, *shape_tail), np.float32)
+            for g, s in enumerate(scenes):
+                a = get(s)
+                if a is not None and s.num_detections:
+                    out[g * m_pad : g * m_pad + s.num_detections] = a
+            return jnp.asarray(out)
+
+        enc = self._encode(
+            padg(lambda s: s.img, IMG_SHAPE),
+            padg(lambda s: s.lidar, LIDAR_SHAPE),
+            padg(lambda s: s.radar, RADAR_SHAPE),
+        )
+
+        results: List[List[Optional[np.ndarray]]] = [
+            [None] * len(ws) for ws in windows_list
+        ]
+        by_bucket: Dict[Tuple[int, int], List[Tuple[int, int]]] = defaultdict(
+            list
+        )
+        for g, ws in enumerate(windows_list):
+            for i, w in enumerate(ws):
+                if w.num_nodes == 0 or w.num_edges == 0:
+                    results[g][i] = np.zeros((0,), np.float32)
+                    continue
+                by_bucket[
+                    pick_bucket(w.num_nodes, w.num_edges, buckets)
+                ].append((g, i))
+
+        for (mn, me), idxs in by_bucket.items():
+            nb = -(-len(idxs) // windows_per_batch)
+            nb_pad = max(num_batches or nb, nb)
+            graphs, dets = [], []
+            for g, i in idxs:
+                w = windows_list[g][i]
+                graphs.append(
+                    pad_graph(
+                        pose=w.pose, edge_src=w.edge_src,
+                        edge_dst=w.edge_dst, edge_attr=w.edge_attr,
+                        node_time=w.node_time, node_class=w.node_class,
+                        max_nodes=mn, max_edges=me,
+                        edge_label=w.edge_label, edge_weight=w.edge_weight,
+                        include_modalities=False,
+                    )
+                )
+                di = np.zeros(mn, np.int32)
+                di[: w.num_nodes] = w.det_index + g * m_pad
+                dets.append(di)
+            while len(graphs) < nb_pad * windows_per_batch:
+                graphs.append(empty_graph(mn, me, include_modalities=False))
+                dets.append(np.zeros(mn, np.int32))
+            stacked = jax.tree.map(
+                lambda x: x.reshape(nb_pad, windows_per_batch, *x.shape[1:]),
+                batch_graphs(graphs),
+            )
+            det_stack = np.stack(dets).reshape(nb_pad, windows_per_batch, mn)
+            scores = np.asarray(
+                self._fwd_stack(stacked, jnp.asarray(det_stack), enc)
+            )
+            for pos, (g, i) in enumerate(idxs):
+                b, slot = divmod(pos, windows_per_batch)
+                results[g][i] = scores[
+                    b, slot, : windows_list[g][i].num_edges
+                ]
         return results  # type: ignore[return-value]
 
 
@@ -512,9 +647,18 @@ def predict_scene(
         scores = scorer.score_scene(scene, windows, wpb, buckets, m_pad=m_pad)
     else:
         scores = score_windows(scorer, windows, wpb, buckets)
+    return aggregate_scene_edges(scene, windows, scores, thresholds)
 
-    # array-native averaging -> threshold -> greedy (dicts only materialize
-    # for the small kept set and the edge-score JSON dump)
+
+def aggregate_scene_edges(
+    scene: SceneDetections,
+    windows: Sequence[WindowGraphArrays],
+    scores: Sequence[np.ndarray],
+    thresholds: Optional[Dict[str, float]] = None,
+):
+    """Cross-window averaging -> per-class thresholding -> greedy rounding
+    for one scene's window scores (array-native: dicts only materialize for
+    the small kept set and the edge-score JSON dump)."""
     srcs, dsts, vals = [], [], []
     for w, s in zip(windows, scores):
         if len(s) == 0:
@@ -539,3 +683,35 @@ def predict_scene(
         for a, b, v in zip(usrc.tolist(), udst.tolist(), means.tolist())
     }
     return pred_edges, avg
+
+
+def predict_scenes(
+    scorer: "SceneEncodedScorer",
+    items: Sequence[Tuple[SceneDetections, Sequence[WindowGraphArrays]]],
+    cfg: Optional[Config] = None,
+    buckets=DEFAULT_BUCKETS,
+    m_pad: Optional[int] = None,
+    group_pad: Optional[int] = None,
+    num_batches: Optional[int] = None,
+) -> List[Tuple[list, dict]]:
+    """Grouped form of :func:`predict_scene` over a scene batch: one grouped
+    encode + one scanned scoring dispatch (``SceneEncodedScorer.score_scenes``)
+    then per-scene aggregation. Returns ``[(pred_edges, avg_scores), ...]``
+    in input order."""
+    thresholds = (
+        cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
+    )
+    wpb = cfg.predict.windows_per_batch if cfg else 8
+    all_scores = scorer.score_scenes(
+        [s for s, _ in items],
+        [ws for _, ws in items],
+        wpb,
+        buckets,
+        m_pad=m_pad,
+        group_pad=group_pad,
+        num_batches=num_batches,
+    )
+    return [
+        aggregate_scene_edges(scene, windows, scores, thresholds)
+        for (scene, windows), scores in zip(items, all_scores)
+    ]

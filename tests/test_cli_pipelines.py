@@ -198,6 +198,38 @@ def test_device_pipeline_grouped_matches_ungrouped(mm_setup):
         assert len(sub1["results"][token]) == len(sub2["results"][token])
 
 
+def test_encoded_pipeline_grouped_matches_ungrouped(mm_setup):
+    """predict --pipeline encoded with predict.scenes_per_batch>1 (one
+    grouped encode + one scanned scoring dispatch per scene group) must
+    produce the same per-scene edge scores and submission as
+    scenes_per_batch=1, including a partial last group."""
+    tmp, ckpt, common = mm_setup
+
+    def run(tag, scenes_per_batch):
+        eval_dir = os.path.join(tmp, f"eval_egrp_{tag}")
+        main([
+            "predict", "--model", "mm", "--checkpoint", ckpt,
+            "--pipeline", "encoded",
+            *common,
+            "--set", f"paths.eval={eval_dir}",
+            "--set", f"predict.scenes_per_batch={scenes_per_batch}",
+        ])
+        sub = json.load(open(os.path.join(eval_dir, "submission.json")))
+        return _edge_scores(eval_dir), sub
+
+    s1, sub1 = run("one", 1)
+    s3, sub3 = run("three", 3)  # 2 store scenes -> one partial group of 2
+    assert s1.keys() == s3.keys() and len(s1) == 2
+    for name in s1:
+        assert s1[name].keys() == s3[name].keys()
+        a = np.array([s1[name][k] for k in s1[name]])
+        b = np.array([s3[name][k] for k in s1[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert sub1["results"].keys() == sub3["results"].keys()
+    for token in sub1["results"]:
+        assert len(sub1["results"][token]) == len(sub3["results"][token])
+
+
 def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
     """The HBM-staged fused kernel is unavailable under jax.vmap, so scene
     GROUPS whose shared bucket is (512, 8192) — fused only single-scene —

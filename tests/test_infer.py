@@ -220,6 +220,73 @@ def test_scene_encoded_scorer_matches_plain():
         np.testing.assert_allclose(a, b, atol=0.06)
 
 
+def test_scene_encoded_scorer_grouped_matches_per_scene():
+    """score_scenes (cross-scene grouped encode + one scanned scoring
+    dispatch) must reproduce per-scene score_scene results, including a
+    partial group padded to group_pad and a padded scan depth."""
+    import jax
+
+    from batch3dmot_tpu.infer.predict import (
+        make_scene_encoded_scorer,
+        predict_scene,
+        predict_scenes,
+    )
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scenes, windows_list = [], []
+    for seed in (5, 6, 7):
+        scene = make_synthetic_scene(
+            seed=seed, num_frames=6, num_tracks=4, with_modalities=True,
+            modality_dropout=0.3,
+        )
+        ws = [
+            w
+            for w in build_scene_graphs(
+                scene, 3, GraphConstructionConfig(top_knn_nodes=4)
+            )
+            if w.num_edges > 0
+        ]
+        scenes.append(scene)
+        windows_list.append(ws)
+
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows_list[0][0], *BUCKETS[0])
+    )
+    scorer = make_scene_encoded_scorer(model, variables)
+
+    m_pad = 64
+    singles = [
+        scorer.score_scene(s, ws, 4, BUCKETS, m_pad=m_pad)
+        for s, ws in zip(scenes, windows_list)
+    ]
+    # group_pad > len(scenes) (a partial last group) and num_batches beyond
+    # the needed scan depth (run-global padding) must not change results
+    grouped = scorer.score_scenes(
+        scenes, windows_list, 4, BUCKETS,
+        m_pad=m_pad, group_pad=4, num_batches=8,
+    )
+    assert len(grouped) == len(scenes)
+    for per_scene, g in zip(singles, grouped):
+        assert len(per_scene) == len(g)
+        for a, b in zip(per_scene, g):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    # the predict_scenes wrapper must agree with per-scene predict_scene
+    items = list(zip(scenes, windows_list))
+    outs = predict_scenes(
+        scorer, items, buckets=BUCKETS, m_pad=m_pad, group_pad=4
+    )
+    for (scene, ws), (pe, avg) in zip(items, outs):
+        ref_pe, ref_avg = predict_scene(
+            scorer, scene, ws, buckets=BUCKETS, m_pad=m_pad
+        )
+        assert {k for k, _ in pe} == {k for k, _ in ref_pe}
+        assert set(avg) == set(ref_avg)
+        for k in avg:
+            assert abs(avg[k] - ref_avg[k]) < 1e-5, k
+
+
 def test_device_pipeline_matches_host_path():
     """Fused on-device build+encode+score must reproduce the host pipeline's
     cross-window-averaged edge scores."""
