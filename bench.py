@@ -1,9 +1,18 @@
 """Benchmark: multimodal GNN window-scoring throughput (edges/sec).
 
-This is the reference's headline inference workload: scoring every candidate
-edge of every sliding-window tracking graph with the camera+lidar+radar GNN
+This is the reference's headline workload: scoring every candidate edge of
+every sliding-window tracking graph with the camera+lidar+radar GNN
 (reference ``predict.py:172-197`` runs it one window at a time on CPU with
 ``map_location='cpu'`` — the >10x BASELINE.md target).
+
+Workload density (round 3): the reference's PRODUCTION graph shape — window
+length 5 and top-40 weighted kNN as ``cl_config.yaml:98,104`` configures,
+over scenes with ~40 concurrent tracks and a car-dominated class mix like
+nuScenes trainval. These windows land in the (256, 4096) node/edge bucket —
+the shape the fused Pallas kernels and real trainval runs actually execute.
+``B3D_BENCH_DEMO=1`` switches back to the small demo density that rounds
+1-2 measured ((64, 512) bucket; ~2.0M edges/s in ``BENCH_r02.json``) for
+series comparability.
 
   * TPU path: windows padded to one bucket, stacked, scored by a single
     jitted vmapped program.
@@ -16,12 +25,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+# nuScenes-trainval-like class mix: car-dominated, so per-class kNN edge
+# fan-in approaches the configured k as it does on real data (a uniform
+# 7-class mix caps same-class candidates at ~tracks/7).
+TRAINVAL_CLASS_MIX = (
+    ["car"] * 5
+    + ["pedestrian"] * 3
+    + ["truck"] * 2
+    + ["bus", "bicycle", "motorcycle", "trailer"]
+)
 
-def build_scenes(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
+
+def build_scenes(num_scenes=4, frames=16, tracks=40, window_len=5, knn=40,
+                 classes=TRAINVAL_CLASS_MIX):
     from batch3dmot_tpu.config import GraphConstructionConfig
     from batch3dmot_tpu.data.synthetic import make_synthetic_scene
     from batch3dmot_tpu.graphs import build_scene_graphs
@@ -35,6 +56,7 @@ def build_scenes(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
             num_tracks=tracks,
             with_modalities=True,
             modality_dropout=0.2,
+            classes=list(classes) if classes else None,
         )
         windows = [
             w for w in build_scene_graphs(scene, window_len, cfg) if w.num_edges > 0
@@ -43,15 +65,18 @@ def build_scenes(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
     return out
 
 
-def build_windows(num_scenes=4, frames=10, tracks=14, window_len=3, knn=10):
-    return [
-        w
-        for _, windows in build_scenes(num_scenes, frames, tracks, window_len, knn)
-        for w in windows
-    ]
+def demo_scenes():
+    """The small round-1/2 workload ((64, 512) bucket) for series checks."""
+    return build_scenes(
+        num_scenes=4, frames=10, tracks=14, window_len=3, knn=10, classes=None
+    )
 
 
-def bench_tpu(scenes_windows, batch_size=8, reps_a=2, reps_b=18):
+def build_windows(**kw):
+    return [w for _, windows in build_scenes(**kw) for w in windows]
+
+
+def bench_tpu(scenes_windows, batch_size=12, reps_a=2, reps_b=18):
     """Device throughput of the production inference program: encode every
     scene detection ONCE, then scan the batched window forwards gathering
     embeddings by detection index (infer.predict.SceneEncodedScorer).
@@ -181,10 +206,11 @@ def bench_tpu(scenes_windows, batch_size=8, reps_a=2, reps_b=18):
             # guard as the scorers — falls back to XLA at big buckets)
             from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
-            if fused_supported(max_nodes, max_edges):
+            if fused_supported(max_nodes, max_edges, grid=batch_size):
                 s = fused_scores_from_encodings(
                     model, variables, batch,
                     x_img[idx], pn[idx], rn[idx], lp[idx], rp[idx],
+                    grid=batch_size,
                 )
             else:
                 def one(g, i):
@@ -399,9 +425,14 @@ def bench_torch_cpu(windows, max_seconds=60.0):
 
 
 def main():
-    scenes_windows = build_scenes()
+    if os.environ.get("B3D_BENCH_DEMO"):
+        scenes_windows = demo_scenes()
+        batch_size = 8
+    else:
+        scenes_windows = build_scenes()
+        batch_size = 12
     windows = [w for _, ws in scenes_windows for w in ws]
-    tpu_eps, _ = bench_tpu(scenes_windows)
+    tpu_eps, _ = bench_tpu(scenes_windows, batch_size=batch_size)
     cpu_eps = bench_torch_cpu(windows)
     print(
         json.dumps(
