@@ -375,15 +375,20 @@ class SceneEncodedScorer:
         import jax.numpy as jnp
 
         if self.mesh is not None:
-            # multi-chip shards the WINDOW batch dim; the scanned stack adds
-            # a leading [NB] axis the shard helper does not map over — keep
-            # the per-scene path, which already shards correctly.
-            return [
-                self.score_scene(
-                    s, ws, windows_per_batch, buckets, m_pad=m_pad
+            # multi-chip: shard the WINDOW batch dim — axis 1 of the scanned
+            # [NB, B, ...] stack (the scan axis NB stays replicated; each
+            # device scores its window shard of every scanned step, the same
+            # collective-free SPMD shape as score_scene). Encodings and
+            # params are replicated, so the per-window gathers stay local.
+            from batch3dmot_tpu.parallel import shard_batch_fn
+
+            if windows_per_batch % self.mesh.size:
+                windows_per_batch = (
+                    -(-windows_per_batch // self.mesh.size) * self.mesh.size
                 )
-                for s, ws in zip(scenes, windows_list)
-            ]
+            shard_stack = shard_batch_fn(self.mesh, axis=1)
+        else:
+            shard_stack = lambda x: x  # noqa: E731
 
         G = group_pad if group_pad is not None else len(scenes)
         assert len(scenes) <= G, (len(scenes), G)
@@ -404,11 +409,21 @@ class SceneEncodedScorer:
                     out[g * m_pad : g * m_pad + s.num_detections] = a
             return jnp.asarray(out)
 
-        enc = self._encode(
-            padg(lambda s: s.img, IMG_SHAPE),
-            padg(lambda s: s.lidar, LIDAR_SHAPE),
-            padg(lambda s: s.radar, RADAR_SHAPE),
+        # encode inputs shard along the stacked G*m_pad row axis when the
+        # mesh divides it (m_pad is a multiple of 64, so it always does for
+        # the usual mesh sizes); the output is re-replicated because window
+        # forwards gather arbitrary detection rows.
+        shard_m = (
+            self._shard
+            if self.mesh is None or (G * m_pad) % self.mesh.size == 0
+            else self._replicate
         )
+        enc = self._encode(
+            shard_m(padg(lambda s: s.img, IMG_SHAPE)),
+            shard_m(padg(lambda s: s.lidar, LIDAR_SHAPE)),
+            shard_m(padg(lambda s: s.radar, RADAR_SHAPE)),
+        )
+        enc = self._replicate(enc)
 
         results: List[List[Optional[np.ndarray]]] = [
             [None] * len(ws) for ws in windows_list
@@ -453,7 +468,11 @@ class SceneEncodedScorer:
             )
             det_stack = np.stack(dets).reshape(nb_pad, windows_per_batch, mn)
             scores = np.asarray(
-                self._fwd_stack(stacked, jnp.asarray(det_stack), enc)
+                self._fwd_stack(
+                    shard_stack(stacked),
+                    shard_stack(jnp.asarray(det_stack)),
+                    enc,
+                )
             )
             for pos, (g, i) in enumerate(idxs):
                 b, slot = divmod(pos, windows_per_batch)

@@ -1,0 +1,56 @@
+"""Warm multi-scene CLI `predict` wall time, grouped vs per-scene dispatch.
+
+The round-2 relay work took the warm 12-scene encoded CLI predict
+68.5 s -> 7.6 s (run-global program shapes + two-stage pipeline,
+docs/RESULTS.md). Round 3 added cross-scene GROUPED encoded scoring
+(`SceneEncodedScorer.score_scenes`: one encode + one scanned scoring
+dispatch per scene group, `predict.scenes_per_batch`); this harness
+measures the same 12-scene workload through the real CLI with grouping
+on vs off. Pass 1 pays compiles; pass 2 is the steady state reported in
+docs/RESULTS.md.
+
+Run (real chip): python scripts/bench_cli_predict.py [n_scenes]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from batch3dmot_tpu.cli import main
+
+
+def run():
+    n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    tmp = tempfile.mkdtemp(prefix="b3d_cli_bench_")
+    common = ["--set", f"paths.tmp={tmp}"]
+    t0 = time.time()
+    main(["build-graphs", "--synthetic", str(n_scenes), *common])
+    print(f"build-graphs: {time.time() - t0:.1f}s", flush=True)
+
+    results = {}
+    for label, spb in (("per-scene", 1), ("grouped4", 4), ("grouped6", 6)):
+        for pass_no in (1, 2):
+            eval_dir = os.path.join(tmp, f"eval_{label}_{pass_no}")
+            t0 = time.time()
+            main([
+                "predict", "--model", "mm", *common,
+                "--set", f"paths.eval={eval_dir}",
+                "--set", f"predict.scenes_per_batch={spb}",
+            ])
+            dt = time.time() - t0
+            print(
+                f"predict[encoded] {label} pass{pass_no}: {dt:.2f}s "
+                f"({n_scenes / dt:.2f} scenes/s)",
+                flush=True,
+            )
+            results[(label, pass_no)] = dt
+    shutil.rmtree(tmp, ignore_errors=True)
+    return results
+
+
+if __name__ == "__main__":
+    run()

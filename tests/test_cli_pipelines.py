@@ -230,6 +230,36 @@ def test_encoded_pipeline_grouped_matches_ungrouped(mm_setup):
         assert len(sub1["results"][token]) == len(sub3["results"][token])
 
 
+def test_encoded_pipeline_grouped_multichip_matches_single(mm_setup):
+    """Grouped encoded predict on a 2-chip mesh (scanned stack's window
+    batch axis sharded, encodings replicated) must reproduce the
+    single-device ungrouped scores at the CLI surface."""
+    tmp, ckpt, common = mm_setup
+
+    def run(tag, scenes_per_batch, devices):
+        eval_dir = os.path.join(tmp, f"eval_egrpm_{tag}")
+        args = [
+            "predict", "--model", "mm", "--checkpoint", ckpt,
+            "--pipeline", "encoded",
+            *common,
+            "--set", f"paths.eval={eval_dir}",
+            "--set", f"predict.scenes_per_batch={scenes_per_batch}",
+        ]
+        if devices:
+            args += ["--devices", str(devices)]
+        main(args)
+        return _edge_scores(eval_dir)
+
+    s1 = run("single", 1, 0)
+    sm = run("mesh", 3, 2)
+    assert s1.keys() == sm.keys() and len(s1) == 2
+    for name in s1:
+        assert s1[name].keys() == sm[name].keys()
+        a = np.array([s1[name][k] for k in s1[name]])
+        b = np.array([sm[name][k] for k in s1[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
     """The HBM-staged fused kernel is unavailable under jax.vmap, so scene
     GROUPS whose shared bucket is (512, 8192) — fused only single-scene —

@@ -286,6 +286,22 @@ def test_scene_encoded_scorer_grouped_matches_per_scene():
         for k in avg:
             assert abs(avg[k] - ref_avg[k]) < 1e-5, k
 
+    # multi-chip grouped scoring: the scanned stack's WINDOW batch axis
+    # (axis 1) shards across the mesh; scores must match the single-device
+    # grouped path exactly (windows_per_batch=4 on a 2-chip mesh -> 2
+    # windows/chip per scanned step, encodings replicated)
+    from batch3dmot_tpu.parallel import make_mesh
+
+    mesh_scorer = make_scene_encoded_scorer(model, variables, mesh=make_mesh(2))
+    mesh_grouped = mesh_scorer.score_scenes(
+        scenes, windows_list, 4, BUCKETS,
+        m_pad=m_pad, group_pad=4, num_batches=8,
+    )
+    for per_scene, g in zip(singles, mesh_grouped):
+        assert len(per_scene) == len(g)
+        for a, b in zip(per_scene, g):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
 
 def test_device_pipeline_matches_host_path():
     """Fused on-device build+encode+score must reproduce the host pipeline's
