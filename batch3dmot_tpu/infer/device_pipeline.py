@@ -5,9 +5,10 @@ The reference pipeline round-trips through the filesystem between every
 stage (SURVEY.md §1: "control flow between layers is entirely through the
 filesystem"). Here a scene goes device-side once: the sliding-window graphs
 are built by :func:`graphs.build_device.build_windows_device`, every
-detection is encoded once, and all window forwards run inside the same XLA
-program — the host only receives the final per-edge scores (plus the
-detection-index pairs needed for cross-window averaging).
+detection is encoded once, all window forwards run inside the same XLA
+program, and duplicate edge scores are averaged across overlapping windows
+on device (:func:`device_average_scores`) — the host receives one compact
+[2, m_pad, (L-1)*k] unique-edge result per scene.
 
 Scene shapes are quantized coarsely (m_pad multiples of 256, 64-node window
 budgets, window counts padded to 8 with parked start indices) so a whole
@@ -34,6 +35,99 @@ from batch3dmot_tpu.graph import (
     PaddedGraph,
 )
 from batch3dmot_tpu.graphs.build_device import build_windows_device
+
+
+def device_average_scores(
+    scores_wnk: jax.Array,  # [W, N, k] f32 per-window edge scores
+    gsrc_wnk: jax.Array,  # [W, N, k] i32 global src detection index
+    emask_wnk: jax.Array,  # [W, N, k] bool edge validity
+    frame_idx: jax.Array,  # [M] i32 (frame-major, padded)
+    det_mask: jax.Array,  # [M] bool
+    window_starts: jax.Array,  # [W] i32 (parked entries >= 2**20)
+    *,
+    window_len: int,
+    d_base=0,
+    m_out: int = None,
+) -> jax.Array:
+    """Cross-window duplicate-edge score averaging ON DEVICE.
+
+    The reference averages duplicate edge scores across overlapping windows
+    on the host (``predict.py:226-227``); fetching every window's scored edge
+    grid to do so costs ``[3, W, N*k]`` f32 over a ~10-40 MB/s relay — the
+    per-scene wall once the GNN kernel is fused (round-3 VERDICT next #1).
+
+    Structure makes this cheap without a global sort: detections are
+    frame-major, so window w's node r is detection ``lo_w + r`` and every
+    edge INTO detection d lives in exactly the ``window_len - 1`` windows
+    starting at ``frame(d)-L+1 .. frame(d)-1``, at row ``d - lo_w``. Gather
+    those rows per dst, sort each tiny ``(L-1)*k`` row by src index, and
+    run-mean equal keys with cumulative sums — O(M·(L-1)·k) work, a fixed
+    ``[2, m_out, (L-1)*k]`` output (row 0 = src index, -1 on invalid /
+    duplicate slots; row 1 = f32 mean bitcast to i32 — bit-exact through the
+    fetch, unlike int->f32 bitcasts which the TPU flushes as denormals).
+
+    ``d_base``/``m_out`` select a dst shard (multi-chip: each chip averages
+    the dst rows of its detection shard from the all-gathered window grids).
+    """
+    W, N, k = scores_wnk.shape
+    L = window_len
+    m_pad = frame_idx.shape[0]
+    if m_out is None:
+        m_out = m_pad
+    R = (L - 1) * k
+    big_frame = jnp.where(det_mask, frame_idx, jnp.int32(2**30))
+    lo_all = jnp.searchsorted(big_frame, window_starts).astype(jnp.int32)
+
+    d = d_base + jnp.arange(m_out, dtype=jnp.int32)
+    fd = frame_idx[d]
+    # windows holding edges into d: starts frame(d)-L+1 .. frame(d)-1
+    s = fd[:, None] - (L - 1) + jnp.arange(L - 1, dtype=jnp.int32)[None, :]
+    s_c = jnp.clip(s, 0, W - 1)
+    ok = (
+        (s >= 0)
+        & (s < W)
+        & det_mask[d][:, None]
+        & (window_starts[s_c] == s_c)  # parked windows never scored
+    )
+    r = d[:, None] - lo_all[s_c]
+    ok &= (r >= 0) & (r < N)
+    r_c = jnp.clip(r, 0, N - 1)
+
+    sc = scores_wnk[s_c, r_c].reshape(m_out, R)
+    gs = gsrc_wnk[s_c, r_c].reshape(m_out, R)
+    em = (emask_wnk[s_c, r_c] & ok[..., None]).reshape(m_out, R)
+
+    sent = jnp.int32(2**30)
+    key = jnp.where(em, gs, sent)
+    if L == 2:
+        # one window per edge: rows hold distinct srcs, nothing to merge
+        is_new, key_s, mean = em, key, sc
+    else:
+        key_s, sc_s = jax.lax.sort((key, sc), dimension=1, num_keys=1)
+        valid = key_s < sent
+        prev = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+        is_new = valid & (key_s != prev)
+        # run extents via suffix-min of next-run-start marks
+        pos = jnp.arange(R, dtype=jnp.int32)
+        mark = jnp.where(is_new, pos, R)
+        suf = jax.lax.cummin(mark[:, ::-1], axis=1)[:, ::-1]
+        nxt = jnp.concatenate(
+            [suf[:, 1:], jnp.full((m_out, 1), R, jnp.int32)], axis=1
+        )
+        end = jnp.clip(nxt - 1, 0, R - 1)  # last slot of each run
+        csum = jnp.cumsum(jnp.where(valid, sc_s, 0.0), axis=1)
+        ccnt = jnp.cumsum(valid.astype(jnp.float32), axis=1)
+        take = lambda c: jnp.take_along_axis(c, end, axis=1)
+        pad0 = lambda c: jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+        run_sum = take(csum) - pad0(csum)
+        run_cnt = take(ccnt) - pad0(ccnt)
+        mean = run_sum / jnp.maximum(run_cnt, 1.0)
+
+    out_src = jnp.where(is_new, key_s, -1).astype(jnp.int32)
+    out_bits = jax.lax.bitcast_convert_type(
+        jnp.where(is_new, mean, 0.0).astype(jnp.float32), jnp.int32
+    )
+    return jnp.stack([out_src, out_bits])  # [2, m_out, R] i32
 
 
 class DeviceScenePipeline:
@@ -98,7 +192,7 @@ class DeviceScenePipeline:
 
     def _build_fn(self, m_pad: int, num_windows: int, max_nodes: int,
                   mesh_gather: bool = False, grid_len: int = None,
-                  vmapped: bool = False):
+                  vmapped: bool = False, mesh_size: int = 1):
         # grid_len: effective Pallas grid length of the final program when
         # it differs from num_windows (the grouped dispatch vmaps S scenes
         # over this fn -> S x W grid; the biggest fused buckets only fit
@@ -194,25 +288,38 @@ class DeviceScenePipeline:
                     return scores
 
                 scores = jax.vmap(one)(jnp.arange(num_windows))
-            # global (src, dst) detection indices per edge for host averaging
+            # cross-window averaging ON DEVICE (device_average_scores): the
+            # result fetch shrinks from [3, W, N*k] f32 (every duplicated
+            # edge slot) to one packed [2, m_pad, (L-1)*k] i32 — one row per
+            # possible unique edge — and the host unpack is a boolean select
+            # instead of an np.unique pass over W*N*k rows.
             det = g["det_index"]
             gsrc = jnp.take_along_axis(det, g["edge_src"], axis=1)
-            gdst = jnp.take_along_axis(det, g["edge_dst"], axis=1)
-            # ONE packed [3, W, E] f32 output -> one host fetch (each fetch
-            # costs a full relay round trip, and at trainval density the
-            # result is ~MBs). Indices ride as plain f32 (exact below 2^24,
-            # far beyond any per-scene detection count); the edge mask is
-            # folded into the score row as -1 (scores are sigmoids in
-            # [0, 1]). NOT int32-bitcast-packed: small ints bitcast to f32
-            # are denormals, and the TPU flushes denormals to zero —
-            # measured as every key collapsing to 0.
-            score_or_neg = jnp.where(g["edge_mask"], scores, -1.0)
-            return jnp.stack(
-                [
-                    gsrc.astype(jnp.float32),
-                    gdst.astype(jnp.float32),
-                    score_or_neg,
-                ]
+            w_loc = scores.shape[0]
+            grid = lambda a: a.reshape(w_loc, max_nodes, k)
+            scores_g, gsrc_g, emask_g = (
+                grid(scores), grid(gsrc), grid(g["edge_mask"])
+            )
+            ws = window_starts
+            d_base, m_out = 0, m_pad
+            if mesh_gather:
+                # window grids are sharded over the mesh; averaging crosses
+                # windows, so gather them (a few MB over ICI) and split the
+                # dst rows instead — each chip averages its detection shard
+                from batch3dmot_tpu.parallel.mesh import DATA_AXIS
+
+                gw = lambda a: jax.lax.all_gather(
+                    a, DATA_AXIS, axis=0, tiled=True
+                )
+                scores_g, gsrc_g, emask_g = (
+                    gw(scores_g), gw(gsrc_g), gw(emask_g)
+                )
+                ws = gw(window_starts)
+                m_out = m_pad // mesh_size
+                d_base = jax.lax.axis_index(DATA_AXIS) * m_out
+            return device_average_scores(
+                scores_g, gsrc_g, emask_g, frame_idx, det_mask, ws,
+                window_len=window_len, d_base=d_base, m_out=m_out,
             )
 
         return run
@@ -274,16 +381,23 @@ class DeviceScenePipeline:
 
     @staticmethod
     def _average(packed: np.ndarray) -> Dict[Tuple[int, int], float]:
-        from batch3dmot_tpu.infer.predict import average_edge_scores_arrays
-
-        gsrc, gdst, scores = packed
-        flat_scores = scores.reshape(-1)
-        sel = flat_scores >= 0.0  # masked edges carry -1
-        return average_edge_scores_arrays(
-            gsrc.reshape(-1)[sel].astype(np.int64),
-            gdst.reshape(-1)[sel].astype(np.int64),
-            flat_scores[sel],
+        """Unpack the device-averaged [2, m_pad, (L-1)*k] i32 result: row 0
+        is the src index (-1 = empty slot), row 1 the f32 mean bitcast to
+        i32; the dst index is the row position. Averaging already happened
+        on device (device_average_scores), so this is a select + dict build
+        over unique edges only."""
+        src = np.asarray(packed[0])
+        means = np.asarray(packed[1]).view(np.float32)
+        dst = np.broadcast_to(
+            np.arange(src.shape[0], dtype=np.int64)[:, None], src.shape
         )
+        sel = src >= 0
+        return {
+            (int(a), int(b)): float(v)
+            for a, b, v in zip(
+                src[sel].tolist(), dst[sel].tolist(), means[sel].tolist()
+            )
+        }
 
     def score_scene(
         self, scene: SceneDetections
@@ -314,7 +428,7 @@ class DeviceScenePipeline:
             # detection's pose)
             local = self._build_fn(
                 m_pad, num_windows // self.mesh.size, max_nodes,
-                mesh_gather=True,
+                mesh_gather=True, mesh_size=self.mesh.size,
             )
             d = P(DATA_AXIS)
             rep = P()

@@ -46,21 +46,32 @@ def average_precision(
     labels: jax.Array,
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Binary average precision = mean of precision@i over positive hits in
-    descending-score order (sklearn/torchmetrics definition). Fixed-shape:
-    masked entries sort last and contribute nothing. Returns NaN when there
-    are no positives (callers nanmean across batches, as the reference does
-    with np.nanmean, train.py:210)."""
+    """Binary average precision: sum over score thresholds of
+    ``(recall_n - recall_{n-1}) * precision_n`` — tied scores form ONE
+    threshold, matching torchmetrics (the reference metric,
+    ``train.py:143-155``) and sklearn; differential-tested against sklearn in
+    ``tests/test_train.py``. Fixed-shape: masked entries sort last (their own
+    -inf tie group) and contribute nothing. Returns NaN when there are no
+    positives (callers nanmean across batches, as the reference does with
+    np.nanmean, train.py:210)."""
     if mask is None:
         mask = jnp.ones_like(scores, dtype=bool)
     neg_inf = jnp.finfo(scores.dtype).min
     s = jnp.where(mask, scores, neg_inf)
     order = jnp.argsort(-s)
+    s_sorted = s[order]
     y = jnp.where(mask, labels, 0.0)[order]
     valid = mask[order].astype(scores.dtype)
     tp = jnp.cumsum(y)
     seen = jnp.cumsum(valid)
-    precision = tp / jnp.maximum(seen, 1.0)
+    # last index of each tie group, broadcast to every member of the group
+    n = s_sorted.shape[0]
+    is_last = jnp.concatenate(
+        [s_sorted[1:] != s_sorted[:-1], jnp.ones((1,), bool)]
+    )
+    end = jnp.where(is_last, jnp.arange(n), n)
+    end = jax.lax.cummin(end[::-1])[::-1]
+    precision = tp[end] / jnp.maximum(seen[end], 1.0)
     num_pos = jnp.sum(y)
     ap = jnp.sum(precision * y) / num_pos  # NaN if num_pos == 0 (intended)
     return ap

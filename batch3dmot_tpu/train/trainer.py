@@ -655,11 +655,28 @@ def _nanmean_metrics(metrics: Dict[str, List[float]]) -> Dict[str, float]:
 
 
 def average_precision_np(scores: np.ndarray, labels: np.ndarray) -> float:
-    """Host-side binary AP (precision averaged at each positive hit)."""
+    """Host-side binary AP: sum over score thresholds of
+    ``(recall_n - recall_{n-1}) * precision_n``.
+
+    Tied scores form ONE threshold (every element of a tie group shares the
+    precision at the group's end) — the semantics of the reference's
+    torchmetrics ``average_precision`` (``train.py:143-155``) and sklearn's
+    ``average_precision_score``, pinned by the differential test in
+    ``tests/test_train.py``. The naive per-position form overstates AP when
+    positives sort before negatives inside a tie group.
+    """
     if len(scores) == 0 or labels.sum() == 0:
         return float("nan")
     order = np.argsort(-scores, kind="stable")
+    s = scores[order]
     y = labels[order]
+    n = len(y)
     tp = np.cumsum(y)
-    precision = tp / np.arange(1, len(y) + 1)
-    return float((precision * y).sum() / y.sum())
+    # index of the last element of each tie group, broadcast to every member
+    is_last = np.empty(n, bool)
+    is_last[-1] = True
+    is_last[:-1] = s[1:] != s[:-1]
+    end = np.where(is_last, np.arange(n), n)
+    end = np.minimum.accumulate(end[::-1])[::-1]
+    precision_at_end = tp[end] / (end + 1)
+    return float((precision_at_end * y).sum() / tp[-1])

@@ -6,7 +6,7 @@ every sliding-window tracking graph with the camera+lidar+radar GNN
 ``map_location='cpu'`` — the >10x BASELINE.md target).
 
 Workload density (round 3): the reference's PRODUCTION graph shape — window
-length 5 and top-40 weighted kNN as ``cl_config.yaml:98,104`` configures,
+length 5 and top-40 weighted kNN as ``cl_config.yaml:68-69`` configures,
 over scenes with ~40 concurrent tracks and a car-dominated class mix like
 nuScenes trainval. These windows land in the (256, 4096) node/edge bucket —
 the shape the fused Pallas kernels and real trainval runs actually execute.
@@ -433,7 +433,13 @@ def main():
         batch_size = 12
     windows = [w for _, ws in scenes_windows for w in ws]
     tpu_eps, _ = bench_tpu(scenes_windows, batch_size=batch_size)
-    cpu_eps = bench_torch_cpu(windows)
+    # median of 3 CPU-twin runs: this host has ONE contended CPU core and
+    # the single measurement swung ~2.7x between rounds (round-3 VERDICT
+    # weak #1 — the headline RATIO drifted while the edges/s numerator
+    # reproduced); the median pins the denominator
+    cpu_eps = float(
+        np.median([bench_torch_cpu(windows, max_seconds=30.0) for _ in range(3)])
+    )
     print(
         json.dumps(
             {
@@ -441,6 +447,7 @@ def main():
                 "value": round(tpu_eps, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(tpu_eps / cpu_eps, 2),
+                "baseline_cpu_edges_per_s": round(cpu_eps, 1),
             }
         )
     )

@@ -9,6 +9,11 @@ measures the same 12-scene workload through the real CLI with grouping
 on vs off. Pass 1 pays compiles; pass 2 is the steady state reported in
 docs/RESULTS.md.
 
+Weights are randomly initialized (no --checkpoint): this harness measures
+dispatch/compile/fetch wall time only — scores are meaningless and that is
+fine, program shapes and costs are checkpoint-independent (weights are jit
+arguments).
+
 Run (real chip): python scripts/bench_cli_predict.py [n_scenes]
 """
 
@@ -27,28 +32,31 @@ def run():
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     tmp = tempfile.mkdtemp(prefix="b3d_cli_bench_")
     common = ["--set", f"paths.tmp={tmp}"]
-    t0 = time.time()
-    main(["build-graphs", "--synthetic", str(n_scenes), *common])
-    print(f"build-graphs: {time.time() - t0:.1f}s", flush=True)
-
     results = {}
-    for label, spb in (("per-scene", 1), ("grouped4", 4), ("grouped6", 6)):
-        for pass_no in (1, 2):
-            eval_dir = os.path.join(tmp, f"eval_{label}_{pass_no}")
-            t0 = time.time()
-            main([
-                "predict", "--model", "mm", *common,
-                "--set", f"paths.eval={eval_dir}",
-                "--set", f"predict.scenes_per_batch={spb}",
-            ])
-            dt = time.time() - t0
-            print(
-                f"predict[encoded] {label} pass{pass_no}: {dt:.2f}s "
-                f"({n_scenes / dt:.2f} scenes/s)",
-                flush=True,
-            )
-            results[(label, pass_no)] = dt
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        t0 = time.time()
+        main(["build-graphs", "--synthetic", str(n_scenes), *common])
+        print(f"build-graphs: {time.time() - t0:.1f}s", flush=True)
+
+        for label, spb in (("per-scene", 1), ("grouped4", 4), ("grouped6", 6)):
+            for pass_no in (1, 2):
+                eval_dir = os.path.join(tmp, f"eval_{label}_{pass_no}")
+                t0 = time.time()
+                main([
+                    "predict", "--model", "mm", "--pipeline", "encoded",
+                    *common,
+                    "--set", f"paths.eval={eval_dir}",
+                    "--set", f"predict.scenes_per_batch={spb}",
+                ])
+                dt = time.time() - t0
+                print(
+                    f"predict[encoded] {label} pass{pass_no}: {dt:.2f}s "
+                    f"({n_scenes / dt:.2f} scenes/s)",
+                    flush=True,
+                )
+                results[(label, pass_no)] = dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return results
 
 

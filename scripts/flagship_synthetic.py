@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--device-pipeline", action="store_true")
-    # reference production shape: cl_config.yaml:98,104 trains at kNN 40
+    # reference production shape: cl_config.yaml:68-69 trains at kNN 40
     # with L=5 windows (VERDICT round-2 next #8)
     ap.add_argument("--window-len", type=int, default=3)
     ap.add_argument("--knn", type=int, default=8)

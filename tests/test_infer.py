@@ -337,6 +337,53 @@ def test_device_pipeline_matches_host_path():
         assert abs(host_avg[key] - dev_avg[key]) < 1e-4, key
 
 
+def test_device_averaging_merges_duplicates_at_long_windows():
+    """device_average_scores (on-device cross-window averaging) must
+    reproduce host averaging when edges recur in MANY overlapping windows
+    (L=4 -> up to 3 observations per edge through the sorted run-mean path;
+    the L=3 test above only ever merges pairs)."""
+    import jax
+
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.infer.predict import (
+        average_scene_edges,
+        make_scene_encoded_scorer,
+    )
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scene = make_synthetic_scene(
+        seed=11, num_frames=9, num_tracks=5, with_modalities=True,
+        modality_dropout=0.2,
+    )
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    windows = [w for w in build_scene_graphs(scene, 4, gc) if w.num_edges > 0]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+
+    scorer = make_scene_encoded_scorer(model, variables)
+    host_scores = scorer.score_scene(
+        scene, windows, windows_per_batch=4, buckets=BUCKETS
+    )
+    host_avg = average_scene_edges(windows, host_scores)
+    # the dedup path must actually run: some edge has >= 3 observations
+    from collections import Counter
+
+    obs = Counter()
+    for w in windows:
+        for a, b in zip(w.det_index[w.edge_src], w.det_index[w.edge_dst]):
+            obs[(int(a), int(b))] += 1
+    assert max(obs.values()) >= 3
+
+    dev_avg = DeviceScenePipeline(
+        model, variables, window_len=4, k=4
+    ).score_scene(scene)
+    assert set(host_avg) == set(dev_avg)
+    for key in host_avg:
+        assert abs(host_avg[key] - dev_avg[key]) < 1e-4, key
+
+
 def test_device_pipeline_mesh_matches_single():
     """The shard_map'ed device pipeline (window grid + encoder inputs
     sharded over the mesh, encodings all-gathered) must reproduce the
