@@ -88,11 +88,13 @@ def _mesh_from_args(args):
 def _build_synthetic_scenes(cfg: Config, num_scenes: int, with_mods: bool):
     from batch3dmot_tpu.data.synthetic import make_synthetic_scene
 
+    gc = cfg.graph_construction
+    base = gc.synthetic_seed_base
     return [
         make_synthetic_scene(
-            seed=s,
-            num_frames=14,
-            num_tracks=10,
+            seed=base + s,
+            num_frames=gc.synthetic_frames,
+            num_tracks=gc.synthetic_tracks,
             with_modalities=with_mods,
         )
         for s in range(num_scenes)
@@ -1203,7 +1205,11 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
             )
             for name in ("img", "lidar", "radar")
         }
-        img = np.zeros((m, *IMG_SHAPE), np.float32) if has["img"] else None
+        img_dt = next(
+            (w.img.dtype for w in windows if w.img is not None and w.img.size),
+            np.float32,
+        )
+        img = np.zeros((m, *IMG_SHAPE), img_dt) if has["img"] else None
         lidar = np.zeros((m, *LIDAR_SHAPE), np.float32) if has["lidar"] else None
         radar = np.zeros((m, *RADAR_SHAPE), np.float32) if has["radar"] else None
         for w in windows:
@@ -1312,6 +1318,29 @@ def cmd_concat_jsons(args) -> None:
         f"concat-jsons: {list(a.keys())} -> {args.outfile} "
         f"({sum(len(v) for v in a.values() if isinstance(v, list))} entries)"
     )
+
+
+def cmd_validate_data(args) -> None:
+    """Doctor pass over the configured data plane (tables, splits JSON,
+    detection JSON) BEFORE any expensive stage — actionable findings
+    instead of a KeyError hours into preprocessing. Exit code 1 on errors
+    (and on warnings with --strict). First command of the real-data
+    runbook (README)."""
+    cfg = _load_config(args)
+    from batch3dmot_tpu.data.validate import validate_config_data
+
+    findings = validate_config_data(cfg, split=args.split)
+    for f in findings:
+        print(f)
+    n_err = sum(1 for f in findings if f.level == "error")
+    n_warn = sum(1 for f in findings if f.level == "warn")
+    print(
+        f"validate-data: {n_err} error(s), {n_warn} warning(s) for "
+        f"dataroot={cfg.paths.data} version={cfg.main.version} "
+        f"detector={cfg.main.detections}"
+    )
+    if n_err or (args.strict and n_warn):
+        raise SystemExit(1)
 
 
 def cmd_export_gt(args) -> None:
@@ -1561,6 +1590,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--file2", required=True)
     p.add_argument("--outfile", required=True)
     p.set_defaults(fn=cmd_concat_jsons)
+
+    p = common(sub.add_parser("validate-data"))
+    p.add_argument("--strict", action="store_true",
+                   help="exit nonzero on warnings too")
+    p.add_argument("--split", default=None,
+                   help="split to validate (default: graph_construction.split)")
+    p.set_defaults(fn=cmd_validate_data)
 
     p = common(sub.add_parser("export-gt"))
     p.add_argument("--out", required=True)

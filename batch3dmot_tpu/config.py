@@ -205,6 +205,13 @@ class GraphConstructionConfig:
     # Which split's detection JSON to build graphs from (reference
     # cl_config.yaml:75); v1.0-mini uses the 'mini' detection file.
     split: str = "train"
+    # --synthetic scene shape (build-graphs/demo): defaults are demo-scale;
+    # the trainval-scale soak (scripts/soak_trainval_scale.py) overrides to
+    # 40 frames x 40 tracks. seed_base offsets the generator so train and
+    # val builds produce DISJOINT scene sets.
+    synthetic_frames: int = 14
+    synthetic_tracks: int = 10
+    synthetic_seed_base: int = 0
 
 
 @dataclass
@@ -240,7 +247,10 @@ class PredictConfig:
     # (--pipeline device) scenes grouped into ONE fused program dispatch —
     # amortizes the per-dispatch relay round trip (host->device transfer +
     # executable dispatch + result fetch) across the group. 1 = one
-    # program per scene (round-2 behavior).
+    # program per scene (round-2 behavior). Density-aware: scene groups
+    # whose per-scene window grid already fills the chip (measured L=5
+    # trainval regression) are automatically scored per-scene regardless
+    # of this setting (infer.device_pipeline._GROUP_WORK_CEILING).
     scenes_per_batch: int = 4
     edge_score_thresholds: Dict[str, float] = field(
         default_factory=lambda: dict(DEFAULT_EDGE_SCORE_THRESHOLDS)
@@ -350,7 +360,12 @@ class Config:
             parts = dotted.split(".")
             obj: Any = self
             for p in parts[:-1]:
-                obj = getattr(obj, p)
+                # dict sections (e.g. detections.megvii.val=...) traverse by
+                # key, auto-creating intermediate maps like YAML would
+                if isinstance(obj, dict):
+                    obj = obj.setdefault(p, {})
+                else:
+                    obj = getattr(obj, p)
             leaf = parts[-1]
             if dataclasses.is_dataclass(obj):
                 current = getattr(obj, leaf)

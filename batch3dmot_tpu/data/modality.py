@@ -99,8 +99,14 @@ def crop_coords_for_box(center_e, wlh, quat_e, camera: dict):
 def crop_and_resize(
     image: np.ndarray, coords, out_size: int = 32
 ) -> np.ndarray:
-    """PIL-compatible integer crop + bilinear resize to (out, out, 3) float
-    in [0, 1] (reference ``construct...parallel.py:240-255``)."""
+    """PIL-compatible integer crop + bilinear resize to (out, out, 3)
+    **uint8** (reference ``construct...parallel.py:240-255``).
+
+    PIL's bilinear resize of a uint8 image IS uint8 — the reference only
+    becomes float at load time via ToTensor's /255
+    (``utils/dataset.py:149-161``). Keeping the artifact uint8 is therefore
+    lossless parity AND 4x smaller on disk and over the host->device relay;
+    the /255 happens on device (``models.encoders.image_input_f32``)."""
     from PIL import Image
 
     min_x, min_y, max_x, max_y = (int(round(v)) for v in coords)
@@ -109,7 +115,7 @@ def crop_and_resize(
     img = Image.fromarray(image)
     cropped = img.crop((min_x, min_y, max_x, max_y))
     resized = cropped.resize((out_size, out_size), Image.BILINEAR)
-    return np.asarray(resized, np.float32) / 255.0
+    return np.asarray(resized, np.uint8)
 
 
 # ---------------------------------------------------------------------------

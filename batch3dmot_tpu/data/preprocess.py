@@ -296,7 +296,9 @@ def extract_detection_modalities(
     for tok in sample_tokens:
         dets = detections.get(tok)
         k = len(dets) if dets is not None else 0
-        imgs = np.zeros((k, res, res, 3), np.float32)
+        # uint8 crops: lossless (PIL resize output is uint8), 4x smaller on
+        # disk and over the host->device relay; /255 happens on device
+        imgs = np.zeros((k, res, res, 3), np.uint8)
         lids = np.zeros((k, cfg.pointnet.num_points, 3), np.float32)
         rads = np.zeros((k, cfg.radarnet.num_points, 4), np.float32)
         if k:

@@ -154,7 +154,11 @@ def make_synthetic_scene(
 
     img = lidar = radar = None
     if with_modalities:
-        img = rng.random((m, *IMG_SHAPE), dtype=np.float32)
+        # uint8 crops, like the real extraction path (crop_and_resize):
+        # 4x smaller uploads; encoders /255 on device
+        img = (rng.random((m, *IMG_SHAPE), dtype=np.float32) * 255).astype(
+            np.uint8
+        )
         lidar = rng.standard_normal((m, *LIDAR_SHAPE), dtype=np.float32)
         radar = rng.standard_normal((m, *RADAR_SHAPE), dtype=np.float32)
         # intermittent modalities: zero out a random subset (presence is

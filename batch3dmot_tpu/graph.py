@@ -44,7 +44,7 @@ class PaddedGraph:
     """
 
     pose: jax.Array  # [N, 19] f32
-    img: jax.Array  # [N, 32, 32, 3] f32
+    img: jax.Array  # [N, 32, 32, 3] uint8 (0..255) or f32 ([0,1])
     lidar: jax.Array  # [N, 128, 3] f32
     radar: jax.Array  # [N, 64, 4] f32
     node_time: jax.Array  # [N] i32 (-1 for padding)
@@ -101,6 +101,7 @@ def pad_graph(
     edge_weight: Optional[np.ndarray] = None,
     dtype=np.float32,
     include_modalities: bool = True,
+    img_dtype=np.float32,
 ) -> PaddedGraph:
     """Pad raw per-window numpy arrays into a :class:`PaddedGraph`.
 
@@ -108,13 +109,21 @@ def pad_graph(
     placeholders — for the precomputed-encoding and device-pipeline paths
     that never read g.img/lidar/radar, full-size zero arrays would otherwise
     dominate host->device traffic.
+
+    ``img`` may be uint8 (0..255): its dtype is PRESERVED so the crop rides
+    host->device at 1 byte/pixel (4x less relay traffic than f32 — the
+    per-scene upload wall, docs/RESULTS.md round 4) and the encoders divide
+    by 255 on device (``models.encoders.image_input_f32``), matching the
+    reference's PIL-uint8 + ToTensor/255 semantics (``dataset.py:149-161``).
+    ``img_dtype`` sets the placeholder dtype when ``img`` is absent so empty
+    fill graphs stack with their uint8 batch peers.
     """
     n = pose.shape[0]
     e = edge_src.shape[0]
     if not include_modalities:
         img = lidar = radar = np.zeros((n, 0, 0, 0), dtype)
     if img is None:
-        img = np.zeros((n, *IMG_SHAPE), dtype)
+        img = np.zeros((n, *IMG_SHAPE), img_dtype)
     if lidar is None:
         lidar = np.zeros((n, *LIDAR_SHAPE), dtype)
     if radar is None:
@@ -136,7 +145,9 @@ def pad_graph(
     # the jit boundary means ONE transfer per field per batch.
     return PaddedGraph(
         pose=_pad_to(pose.astype(dtype), max_nodes),
-        img=_pad_to(img.astype(dtype), max_nodes),
+        img=_pad_to(
+            img if img.dtype == np.uint8 else img.astype(dtype), max_nodes
+        ),
         lidar=_pad_to(lidar.astype(dtype), max_nodes),
         radar=_pad_to(radar.astype(dtype), max_nodes),
         node_time=_pad_to(node_time.astype(np.int32), max_nodes, value=-1),
@@ -156,6 +167,14 @@ def stack_host_or_device(*xs):
     input is numpy (one transfer per field at the jit boundary instead of
     eager per-item device stacks through a TPU relay), with jnp otherwise
     (callers batching already-transferred arrays)."""
+    if len({np.dtype(x.dtype) for x in xs}) > 1:
+        # a uint8 image batched with an f32 fill graph would silently
+        # promote to f32 carrying 0..255 values, which the on-device /255
+        # (uint8-gated) would then NOT rescale — fail loudly instead; pass
+        # img_dtype=np.uint8 to empty_graph/pad_graph for the fill slots
+        raise TypeError(
+            f"refusing to stack mixed dtypes {[x.dtype for x in xs]}"
+        )
     if all(isinstance(x, np.ndarray) for x in xs):
         return np.stack(xs, axis=0)
     return jnp.stack(xs, axis=0)
@@ -172,10 +191,13 @@ def empty_graph(
     max_edges: int,
     dtype=np.float32,
     include_modalities: bool = True,
+    img_dtype=np.float32,
 ) -> PaddedGraph:
-    """An all-padding graph (used to fill incomplete window batches)."""
+    """An all-padding graph (used to fill incomplete window batches).
+    ``img_dtype`` must match the batch peers' image dtype (uint8 stores)."""
     return pad_graph(
         include_modalities=include_modalities,
+        img_dtype=img_dtype,
         pose=np.zeros((0, POSE_DIM), dtype),
         edge_src=np.zeros((0,), np.int32),
         edge_dst=np.zeros((0,), np.int32),

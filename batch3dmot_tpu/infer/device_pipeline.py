@@ -36,6 +36,14 @@ from batch3dmot_tpu.graph import (
 )
 from batch3dmot_tpu.graphs.build_device import build_windows_device
 
+# Per-scene device work (window grid x nodes x edge slots = W*N*E) above
+# which grouped dispatch stops paying: at trainval L=2 density (~10M) the
+# group win is 1.4-1.6x, at trainval L=5 (~42M) grouping measured
+# 0.62-1.03x vs per-scene (docs/RESULTS.md). Config scenes_per_batch still
+# sets the GROUP SIZE when grouping applies; this ceiling only routes
+# chip-filling scenes to per-scene dispatch automatically.
+_GROUP_WORK_CEILING = 32_000_000
+
 
 def device_average_scores(
     scores_wnk: jax.Array,  # [W, N, k] f32 per-window edge scores
@@ -353,7 +361,10 @@ class DeviceScenePipeline:
         pad2 = lambda a: np.pad(a, ((0, m_pad - m), (0, 0)))
 
         def padm(a, tail):
-            buf = np.zeros((m_pad, *tail), np.float32)
+            # source dtype preserved: uint8 crops upload at 1 byte/px (the
+            # per-scene relay wall is this transfer, docs/RESULTS.md r4)
+            dt = a.dtype if a is not None else np.float32
+            buf = np.zeros((m_pad, *tail), dt)
             if a is not None:
                 buf[:m] = a
             return buf
@@ -494,11 +505,20 @@ class DeviceScenePipeline:
         # only single-scene — the 4M-product (512, 8192) bucket — the
         # per-scene kernel win outweighs the grouped dispatch amortization
         # (scripts/probe_pipeline_big.py: singles 1.70 s vs grouped 2.04 s
-        # for 2 dense scenes), so score such groups scene-by-scene
+        # for 2 dense scenes), so score such groups scene-by-scene.
+        # Density-aware routing (round-3 VERDICT next #6): grouping also
+        # LOSES when one scene already fills the chip — measured 0.62-1.03x
+        # vs per-scene at trainval L=5 density (docs/RESULTS.md "Grouped
+        # device-pipeline dispatch"), where W*N*E per-scene work is ~42M
+        # edge-node products; the relay round trip being amortized is minor
+        # against per-scene device time there. Group only under the ceiling.
         from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
         e_cnt = max_nodes * min(self.k, max_nodes)
-        if (
+        underfills = (
+            num_windows * max_nodes * e_cnt < _GROUP_WORK_CEILING
+        )
+        if not underfills or (
             self.fused
             and not fused_supported(
                 max_nodes, e_cnt, len(live) * num_windows, vmapped=True

@@ -192,7 +192,13 @@ class SceneEncodedScorer:
                     else x,
                     variables,
                 )
-                img = img.astype(enc_dtype)
+                # uint8 crops must take their /255 here (the model's
+                # uint8-gated conversion won't see uint8 after this cast)
+                img = (
+                    img.astype(enc_dtype) / 255.0
+                    if img.dtype == jnp.uint8
+                    else img.astype(enc_dtype)
+                )
                 lidar = lidar.astype(enc_dtype)
                 radar = radar.astype(enc_dtype)
             x_img, pn, rn = model.apply(
@@ -277,7 +283,11 @@ class SceneEncodedScorer:
         assert m_pad >= m, (m_pad, m)
 
         def padm(a, shape_tail):
-            out = np.zeros((m_pad, *shape_tail), np.float32)
+            # source dtype preserved: uint8 crops upload at 1 byte/px
+            out = np.zeros(
+                (m_pad, *shape_tail),
+                a.dtype if a is not None else np.float32,
+            )
             if a is not None and m:
                 out[:m] = a
             return jnp.asarray(out)
@@ -402,7 +412,11 @@ class SceneEncodedScorer:
         from batch3dmot_tpu.graph import IMG_SHAPE, LIDAR_SHAPE, RADAR_SHAPE
 
         def padg(get, shape_tail):
-            out = np.zeros((G * m_pad, *shape_tail), np.float32)
+            dts = {
+                get(s).dtype for s in scenes if get(s) is not None
+            } or {np.dtype(np.float32)}
+            assert len(dts) == 1, f"mixed modality dtypes in group: {dts}"
+            out = np.zeros((G * m_pad, *shape_tail), dts.pop())
             for g, s in enumerate(scenes):
                 a = get(s)
                 if a is not None and s.num_detections:
@@ -507,7 +521,9 @@ def score_windows(
             chunk = idxs[lo : lo + windows_per_batch]
             graphs = [to_padded(windows[i], mn, me) for i in chunk]
             while len(graphs) < windows_per_batch:
-                graphs.append(empty_graph(mn, me))
+                graphs.append(
+                    empty_graph(mn, me, img_dtype=graphs[0].img.dtype)
+                )
             scores = np.asarray(scorer(batch_graphs(graphs)))
             for slot, i in enumerate(chunk):
                 results[i] = scores[slot, : windows[i].num_edges]

@@ -25,10 +25,15 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "graphstore.cc")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)]
+                + (["-B"] if stale else []),
                 check=True,
                 capture_output=True,
             )
@@ -53,12 +58,16 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     lib.b3d_num_nodes.restype = ctypes.c_int
     lib.b3d_num_edges.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.b3d_num_edges.restype = ctypes.c_int
+    lib.b3d_img_dtype.argtypes = [ctypes.c_void_p]
+    lib.b3d_img_dtype.restype = ctypes.c_int
     f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    anyarr = np.ctypeslib.ndpointer(flags="C_CONTIGUOUS")  # img: f32 or u8
     lib.b3d_fill_padded_batch.argtypes = [
         ctypes.c_void_p, i32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        f32, f32, f32, f32, i32, i32, u8, i32, i32, f32, u8, f32, f32,
+        f32, anyarr, ctypes.c_int, f32, f32, i32, i32, u8, i32, i32, f32,
+        u8, f32, f32,
         ctypes.c_int,
     ]
     lib.b3d_fill_padded_batch.restype = ctypes.c_int
@@ -119,9 +128,12 @@ class NativeGraphStore:
         """
         b = len(window_indices)
         idx = np.asarray(window_indices, np.int32)
+        # image buffer dtype follows the store (uint8 crops: 4x smaller
+        # host buffers AND host->device uploads; device-side /255)
+        img_dtype = np.uint8 if self._lib.b3d_img_dtype(self._h) == 2 else np.float32
         out = {
             "pose": np.empty((b, max_nodes, 19), np.float32),
-            "img": np.empty((b, max_nodes, 32, 32, 3), np.float32),
+            "img": np.empty((b, max_nodes, 32, 32, 3), img_dtype),
             "lidar": np.empty((b, max_nodes, 128, 3), np.float32),
             "radar": np.empty((b, max_nodes, 64, 4), np.float32),
             "node_time": np.empty((b, max_nodes), np.int32),
@@ -136,12 +148,15 @@ class NativeGraphStore:
         }
         rc = self._lib.b3d_fill_padded_batch(
             self._h, idx, b, max_nodes, max_edges,
-            out["pose"], out["img"], out["lidar"], out["radar"],
+            out["pose"], out["img"], np.dtype(img_dtype).itemsize,
+            out["lidar"], out["radar"],
             out["node_time"], out["node_class"], out["node_mask"],
             out["edge_src"], out["edge_dst"], out["edge_attr"],
             out["edge_mask"], out["edge_label"], out["edge_weight"],
             num_threads,
         )
+        if rc == -2:
+            raise ValueError("store image dtype is inconsistent across windows")
         if rc != 0:
             raise ValueError("window exceeds padding budget")
         return out

@@ -36,8 +36,14 @@ SCHEMA = (
     "pose", "img", "lidar", "radar", "node_time", "node_class", "det_index",
     "edge_src", "edge_dst", "edge_attr", "edge_label", "edge_weight",
 )
-_DTYPES = {0: np.float32, 1: np.int32}
-_DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1}
+# code 2 (uint8) added round 4 for image crops — the header layout is
+# unchanged, so VERSION stays 1 and pre-existing stores read fine
+_DTYPES = {0: np.float32, 1: np.int32, 2: np.uint8}
+_DTYPE_CODES = {
+    np.dtype(np.float32): 0,
+    np.dtype(np.int32): 1,
+    np.dtype(np.uint8): 2,
+}
 _ALIGN = 64
 
 
@@ -45,7 +51,12 @@ def _window_arrays(w: WindowGraphArrays) -> Dict[str, np.ndarray]:
     n = w.num_nodes
     return {
         "pose": w.pose.astype(np.float32),
-        "img": (w.img if w.img is not None else np.zeros((0,), np.float32)).astype(np.float32),
+        # uint8 crops stored as-is (4x smaller; device-side /255)
+        "img": (
+            np.zeros((0,), np.float32)
+            if w.img is None
+            else (w.img if w.img.dtype == np.uint8 else w.img.astype(np.float32))
+        ),
         "lidar": (w.lidar if w.lidar is not None else np.zeros((0,), np.float32)).astype(np.float32),
         "radar": (w.radar if w.radar is not None else np.zeros((0,), np.float32)).astype(np.float32),
         "node_time": w.node_time.astype(np.int32),

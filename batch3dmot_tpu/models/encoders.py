@@ -26,6 +26,19 @@ from flax import linen as nn
 _BN = dict(momentum=0.9, epsilon=1e-5)
 
 
+def image_input_f32(x: jax.Array) -> jax.Array:
+    """Accept uint8 (0..255) or float ([0,1]) image batches.
+
+    Crops are stored and uploaded as uint8 — 4x less host->device relay
+    traffic (the per-scene wall at trainval density, docs/RESULTS.md round
+    4) and bit-identical to the reference, whose PIL crops ARE uint8 and
+    are divided by 255 at load (``utils/dataset.py:149-161``). The /255
+    happens here, on device, inside the jit."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 # ---------------------------------------------------------------------------
 # ResNet autoencoder (camera crops, 32x32 -> 96-d latent)
 # ---------------------------------------------------------------------------
@@ -94,8 +107,8 @@ class ResNetAE(nn.Module):
         ]
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """x: [B, 32, 32, 3] -> [B, latent_dim]."""
-        h = self.stem(x)
+        """x: [B, 32, 32, 3] (uint8 0..255 or f32 [0,1]) -> [B, latent_dim]."""
+        h = self.stem(image_input_f32(x))
         h = self.block1(h, train)
         h = self.block2(h, train)
         h = self.block3(h, train)

@@ -135,7 +135,9 @@ class GraphBatcher:
             (mn, me) = b
             graphs = [to_padded(self.by_bucket[b][i], mn, me) for i in idxs]
             while len(graphs) < self.batch_size:
-                graphs.append(empty_graph(mn, me))
+                graphs.append(
+                    empty_graph(mn, me, img_dtype=graphs[0].img.dtype)
+                )
             yield batch_graphs(graphs)
 
 

@@ -62,7 +62,11 @@ def precompute_scene_encodings(
         pad = chunk - (hi - lo)
 
         def grab(arr, tail):
-            buf = np.zeros((chunk, *tail), np.float32)
+            # dtype-preserving: a uint8 crop assigned into an f32 buffer
+            # would carry 0..255 floats past the model's uint8-gated /255
+            buf = np.zeros(
+                (chunk, *tail), arr.dtype if arr is not None else np.float32
+            )
             if arr is not None and hi > lo:
                 buf[: hi - lo] = arr[lo:hi]
             return jnp.asarray(buf)

@@ -134,7 +134,9 @@ def bench_tpu(scenes_windows, batch_size=12, reps_a=2, reps_b=18):
         mods = []
         for arr, tail in ((scene.img, IMG_SHAPE), (scene.lidar, LIDAR_SHAPE),
                           (scene.radar, RADAR_SHAPE)):
-            buf = np.zeros((m_pad, *tail), np.float32)
+            # dtype-preserving: uint8 crops upload at 1 byte/px and take
+            # their /255 on device (models.encoders.image_input_f32)
+            buf = np.zeros((m_pad, *tail), arr.dtype)
             buf[:m] = arr
             mods.append(buf)
         graphs, dets = [], []
@@ -188,7 +190,9 @@ def bench_tpu(scenes_windows, batch_size=12, reps_a=2, reps_b=18):
     def score_scene(c, mods, stacked, det_idx, variables):
         # the carry perturbation must be non-foldable (c * 0 is simplified
         # away by XLA algsimp, which would hoist the body out of the scan)
-        img, lidar, radar = (m + c * 1e-30 for m in mods)
+        img, lidar, radar = mods
+        img = img.astype(jnp.float32) / 255.0 if img.dtype == jnp.uint8 else img
+        img, lidar, radar = (m + c * 1e-30 for m in (img, lidar, radar))
         x_img, pn, rn = model.apply(
             variables, img, lidar, radar, method=model.encode_frozen
         )
@@ -399,10 +403,11 @@ def bench_torch_cpu(windows, max_seconds=60.0):
 
     tensors = []
     for w in windows:
+        img = w.img.astype(np.float32) / 255.0 if w.img.dtype == np.uint8 else w.img
         tensors.append(
             (
                 torch.from_numpy(w.pose),
-                torch.from_numpy(np.ascontiguousarray(w.img.transpose(0, 3, 1, 2))),
+                torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2))),
                 torch.from_numpy(np.ascontiguousarray(w.lidar.transpose(0, 2, 1))),
                 torch.from_numpy(np.ascontiguousarray(w.radar.transpose(0, 2, 1))),
                 torch.from_numpy(w.edge_src.astype(np.int64)),

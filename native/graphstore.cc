@@ -125,12 +125,23 @@ int b3d_num_edges(void* h, int win) {
   return static_cast<int>(static_cast<Store*>(h)->entry(win, kEdgeSrc).shape[0]);
 }
 
+// dtype code of the image arrays (0 = f32, 2 = uint8): the code of the
+// first window with image data; 0 when no window carries images. Writers
+// never mix image dtypes within a store (io/store.py).
+int b3d_img_dtype(void* h) {
+  auto* s = static_cast<Store*>(h);
+  for (int w = 0; w < s->num_windows; ++w)
+    if (s->entry(w, kImg).nbytes > 0) return s->entry(w, kImg).dtype;
+  return 0;
+}
+
 namespace {
 
 // Copy one window into its padded batch slot. All destination buffers are
 // pre-zeroed; we only memcpy the real rows and set the masks.
 void fill_slot(const Store* s, int win, int slot, int max_nodes, int max_edges,
-               float* pose, float* img, float* lidar, float* radar,
+               float* pose, void* img, int img_itemsize, float* lidar,
+               float* radar,
                int32_t* node_time, int32_t* node_class, uint8_t* node_mask,
                int32_t* edge_src, int32_t* edge_dst, float* edge_attr,
                uint8_t* edge_mask, float* edge_label, float* edge_weight) {
@@ -144,7 +155,9 @@ void fill_slot(const Store* s, int win, int slot, int max_nodes, int max_edges,
 
   cp(kPose, pose, 19 * sizeof(float), n, max_nodes);
   if (s->entry(win, kImg).nbytes > 0)
-    cp(kImg, img, 32 * 32 * 3 * sizeof(float), n, max_nodes);
+    // itemsize (f32 vs uint8 crops) validated against nbytes by the caller
+    cp(kImg, img, 32 * 32 * 3 * static_cast<size_t>(img_itemsize), n,
+       max_nodes);
   if (s->entry(win, kLidar).nbytes > 0)
     cp(kLidar, lidar, 128 * 3 * sizeof(float), n, max_nodes);
   if (s->entry(win, kRadar).nbytes > 0)
@@ -171,21 +184,29 @@ void fill_slot(const Store* s, int win, int slot, int max_nodes, int max_edges,
 // Returns 0 on success, -1 if any window exceeds the padding budget.
 int b3d_fill_padded_batch(
     void* h, const int32_t* win_indices, int batch, int max_nodes, int max_edges,
-    float* pose, float* img, float* lidar, float* radar,
+    float* pose, void* img, int img_itemsize, float* lidar, float* radar,
     int32_t* node_time, int32_t* node_class, uint8_t* node_mask,
     int32_t* edge_src, int32_t* edge_dst, float* edge_attr, uint8_t* edge_mask,
     float* edge_label, float* edge_weight, int num_threads) {
   auto* s = static_cast<Store*>(h);
   for (int b = 0; b < batch; ++b) {
     int w = win_indices[b];
-    if (w >= 0 && (b3d_num_nodes(h, w) > max_nodes || b3d_num_edges(h, w) > max_edges))
+    if (w < 0) continue;
+    if (b3d_num_nodes(h, w) > max_nodes || b3d_num_edges(h, w) > max_edges)
       return -1;
+    // the caller sized the img buffer from b3d_img_dtype; a mismatched
+    // per-window itemsize would over-/under-read — reject instead
+    const Entry& ie = s->entry(w, kImg);
+    if (ie.nbytes > 0 &&
+        ie.nbytes != static_cast<int64_t>(b3d_num_nodes(h, w)) * 32 * 32 * 3 *
+                         img_itemsize)
+      return -2;
   }
 
   const size_t bn = static_cast<size_t>(batch) * max_nodes;
   const size_t be = static_cast<size_t>(batch) * max_edges;
   memset(pose, 0, bn * 19 * sizeof(float));
-  memset(img, 0, bn * 32 * 32 * 3 * sizeof(float));
+  memset(img, 0, bn * 32 * 32 * 3 * static_cast<size_t>(img_itemsize));
   memset(lidar, 0, bn * 128 * 3 * sizeof(float));
   memset(radar, 0, bn * 64 * 4 * sizeof(float));
   memset(node_time, 0, bn * sizeof(int32_t));
@@ -206,7 +227,8 @@ int b3d_fill_padded_batch(
           node_time[static_cast<size_t>(b) * max_nodes + i] = -1;
         continue;
       }
-      fill_slot(s, w, b, max_nodes, max_edges, pose, img, lidar, radar,
+      fill_slot(s, w, b, max_nodes, max_edges, pose, img, img_itemsize,
+                lidar, radar,
                 node_time, node_class, node_mask, edge_src, edge_dst,
                 edge_attr, edge_mask, edge_label, edge_weight);
     }

@@ -27,8 +27,12 @@ import numpy as np
 
 from batch3dmot_tpu.models import MultimodalGNN
 
-M_PAD = 128
-REPS_A, REPS_B = 4, 68
+# Batch size sweeps via argv (round-3 VERDICT next #4: the original probe
+# ran only the demo-scale 128; trainval scenes encode 1024-2048 detections
+# and encode is ~88% of the headline sweep there).
+M_PAD = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+REPS_A = 4
+REPS_B = max(12, min(68, 8192 // M_PAD))
 
 
 def main():

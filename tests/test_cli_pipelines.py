@@ -293,6 +293,58 @@ def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
     assert all(r == {(0, 1): 0.5} for r in results)
 
 
+def test_device_pipeline_group_routes_chip_filling_scenes_to_singles(
+    monkeypatch,
+):
+    """Density-aware grouped dispatch (round-3 VERDICT next #6): trainval
+    L=5-shaped scenes (W*N*E ~42M edge-node products per scene, where
+    grouping measured 0.62-1.03x vs per-scene) must be scored per-scene
+    even when scenes_per_batch would group them; trainval L=2-shaped
+    scenes (~10M, where grouping wins 1.4-1.6x) must still group."""
+    from batch3dmot_tpu.data.synthetic import make_synthetic_scene
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scenes = [
+        make_synthetic_scene(
+            seed=70 + i, num_frames=40, num_tracks=40,
+            with_modalities=True, scene_token=f"tv{i}",
+        )
+        for i in range(2)
+    ]
+
+    called = []
+    monkeypatch.setattr(
+        type(DeviceScenePipeline(MultimodalGNN(), None, 2, 4)),
+        "score_scene",
+        lambda self, s: called.append(s.scene_token) or {(0, 1): 0.5},
+    )
+
+    # L=5 trainval density: chip-filling -> per-scene
+    pipe5 = DeviceScenePipeline(
+        MultimodalGNN(), variables=None, window_len=5, k=16, fused=True
+    )
+    m_pad, w, n = pipe5._quanta(scenes[0])
+    assert (-(-w // 8) * 8) * n * n * 16 >= 32_000_000  # above the ceiling
+    assert pipe5.score_scenes(scenes) == [{(0, 1): 0.5}] * 2
+    assert called == ["tv0", "tv1"]
+
+    # L=2 trainval density: underfills -> grouped (score_scene NOT called;
+    # the grouped path would need real variables, so a sentinel raise
+    # proves the branch taken)
+    called.clear()
+    pipe2 = DeviceScenePipeline(
+        MultimodalGNN(), variables=None, window_len=2, k=16, fused=True
+    )
+    m_pad, w, n = pipe2._quanta(scenes[0])
+    assert (-(-w // 8) * 8) * n * n * 16 < 32_000_000
+    try:
+        pipe2.score_scenes(scenes)
+    except Exception:
+        pass  # grouped path dies on variables=None AFTER the routing branch
+    assert called == []
+
+
 def test_train_gnn_device_dataset_matches_streamed(mm_setup, tmp_path, capsys):
     """CLI --encoded --device-dataset (whole dataset uploaded once, one
     scanned program per epoch) must train, checkpoint, and report a

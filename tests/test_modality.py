@@ -79,8 +79,10 @@ def test_crop_and_resize_shape():
     img = (np.random.default_rng(0).random((100, 150, 3)) * 255).astype(np.uint8)
     out = mod.crop_and_resize(img, (10.2, 20.8, 60.1, 70.9), 32)
     assert out.shape == (32, 32, 3)
-    assert out.dtype == np.float32
-    assert 0 <= out.min() and out.max() <= 1.0
+    # uint8 artifact: PIL's bilinear resize of uint8 IS uint8 — the /255
+    # happens on device (models.encoders.image_input_f32), exactly the
+    # reference's PIL + ToTensor/255 split (dataset.py:149-161)
+    assert out.dtype == np.uint8
 
 
 def test_reference_normalize_semantics():

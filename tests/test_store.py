@@ -165,3 +165,43 @@ def test_scene_from_store_ego_fields_roundtrip(tmp_path, scene_windows):
         json.dump(meta, f)
     with pytest.raises(SystemExit, match="ego-pose sidecar"):
         _scene_from_store(path, windows)
+
+
+def test_store_preserves_uint8_images(tmp_path, scene_windows):
+    """uint8 crops must survive the store roundtrip AS uint8 (4x smaller on
+    disk and over the host->device relay — the round-4 upload-wall fix) and
+    the native filler must produce a uint8 batch buffer."""
+    scene, windows = scene_windows
+    assert windows[0].img.dtype == np.uint8  # synthetic crops are uint8
+    path = save_scene_graphs(windows, str(tmp_path))
+    loaded = load_scene_graphs(path)
+    assert loaded[0].img.dtype == np.uint8
+    np.testing.assert_array_equal(loaded[0].img, windows[0].img)
+    if native_available():
+        store = NativeGraphStore(path)
+        batch = store.fill_padded_batch([0, 1], 64, 256)
+        assert batch["img"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            batch["img"][0, : windows[0].num_nodes], windows[0].img
+        )
+
+
+def test_uint8_encode_matches_f32_div255():
+    """ResNetAE.encode on uint8 input must match encode on the same data
+    pre-divided by 255 on the host (the on-device conversion,
+    models.encoders.image_input_f32). Not bit-exact: XLA lowers the
+    in-graph /255 as multiply-by-reciprocal (1 ulp vs numpy's true
+    division), so compare at a tight tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from batch3dmot_tpu.models.encoders import ResNetAE
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    model = ResNetAE()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.asarray(u8))
+    enc = jax.jit(lambda v, x: model.apply(v, x, method=model.encode))
+    a = np.asarray(enc(variables, jnp.asarray(u8)))
+    b = np.asarray(enc(variables, jnp.asarray(u8.astype(np.float32) / 255.0)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

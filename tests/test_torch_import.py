@@ -454,10 +454,13 @@ def test_mm_gnn_import_forward_parity(rng):
     w = build_window_graph(scene, 0, 3, GraphConstructionConfig(top_knn_nodes=4))
     n, e = w.num_nodes, w.num_edges
 
+    # torch twin consumes f32 [0,1] (the reference's ToTensor/255); the
+    # flax side receives the raw uint8 crop and divides on device
+    img_f32 = w.img.astype(np.float32) / 255.0
     with torch.no_grad():
         t_scores = tm(
             torch.from_numpy(w.pose),
-            torch.from_numpy(np.ascontiguousarray(w.img.transpose(0, 3, 1, 2))),
+            torch.from_numpy(np.ascontiguousarray(img_f32.transpose(0, 3, 1, 2))),
             torch.from_numpy(np.ascontiguousarray(w.lidar.transpose(0, 2, 1))),
             torch.from_numpy(np.ascontiguousarray(w.radar.transpose(0, 2, 1))),
             torch.from_numpy(w.edge_src.astype(np.int64)),
