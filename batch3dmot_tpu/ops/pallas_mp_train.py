@@ -104,6 +104,7 @@ _TRAIN_TILED_MAX_EDGES = 4096
 _TRAIN_TILED_MAX_NODES = 512
 _TRAIN_TILED_MAX_PRODUCT = 4096 * 256
 _TRAIN_TILE_PRODUCT = 128 * 1024  # target edges-per-tile x nodes
+_TRAIN_MAX_TILE_EDGES = 512  # hardware-validated per-tile VMEM ceiling
 
 # The 2M/4M-product buckets ((512, 4096) at 16 tiles, (512, 8192) at 32)
 # COMPILE with the fully tile-granular design but win on the ENCODED
@@ -140,7 +141,12 @@ def _train_tiles_for(max_nodes: int, max_edges: int,
     # is as large as the tile intermediates allow — fewer tiles = fewer
     # serialized DMA round trips per layer.
     tiles = max(2, -(-product // _TRAIN_TILE_PRODUCT))
-    while max_edges % tiles:
+    # cap the per-tile edge count at the hardware-validated 512: the VMEM
+    # ceilings were all measured at tile sizes <= 512 ((256,4096)x8,
+    # (512,4096)x16, (512,8192)x32); the (128, 4096) bucket's natural
+    # 4-tile split (tile size 1024) overflowed scoped VMEM by 4.5 KB in
+    # the backward custom call — caught by the trainval-scale soak (r4)
+    while max_edges % tiles or max_edges // tiles > _TRAIN_MAX_TILE_EDGES:
         tiles += 1
     # the transposed [ed, E] stashes are DMA'd with trailing-dim tile
     # slices, which Mosaic requires 128-lane-aligned

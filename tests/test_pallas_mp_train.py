@@ -118,6 +118,12 @@ def test_fused_train_guard_coverage():
     assert _train_tiles_for(512, 4096, encoded=True) == 16
     assert not fused_train_supported(512, 8192)
     assert not fused_train_supported(512, 8192, encoded=True)
+    # tile edge-size is capped at the hardware-validated 512: the natural
+    # 4-tile split of (128, 4096) (tile size 1024) overflowed scoped VMEM
+    # by 4.5 KB in the backward — caught by the trainval-scale soak (r4)
+    for n, e in ((128, 4096), (64, 4096), (64, 2048), (128, 2048)):
+        tiles = _train_tiles_for(n, e)
+        assert tiles is not None and e // tiles <= 512, (n, e, tiles)
 
 
 def _grad_compare_tiled(model, batch, n_tiles, desc):
