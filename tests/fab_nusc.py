@@ -424,8 +424,14 @@ def make_fab_detections(
                 "detection_score": float(rng.uniform(0.05, 0.4)),
             })
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # real detector submissions carry a meta block (nuScenes submission
+    # format; validate-data warns when it is absent)
+    meta = {
+        "use_camera": False, "use_lidar": True, "use_radar": False,
+        "use_map": False, "use_external": False,
+    }
     with open(out_path, "w") as f:
-        json.dump({"results": results}, f)
+        json.dump({"meta": meta, "results": results}, f)
     return out_path
 
 

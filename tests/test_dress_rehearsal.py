@@ -101,6 +101,9 @@ def fab_trainval(tmp_path_factory):
     ]
     sets = [x for o in overrides for x in ("--set", o)]
     cfg_clr = os.path.join(CONFIGS, "clr.yaml")
+    # doctor first, exactly as the README runbook prescribes: the shipped
+    # config + fabricated trainval dataset must validate STRICT-clean
+    main(["validate-data", "--config", cfg_clr, "--strict"] + sets)
     main(["preprocess", "--config", cfg_clr, "--modality", "all"] + sets)
     paths = _cfg_paths(cfg_clr, overrides)
     pre = paths.preprocessed
