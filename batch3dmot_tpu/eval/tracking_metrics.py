@@ -68,11 +68,14 @@ def _match_frames(
 ):
     """CLEAR-MOT accumulation for one class at one score threshold.
 
-    Returns (tp, fp, fn, ids, dist_sum, n_match).
+    Returns (tp, fp, fn, ids, dist_sum, n_match, match_scores) where
+    match_scores are the tracking scores of the matched predictions (the
+    devkit derives its recall-sweep thresholds from these).
     """
     tp = fp = fn = ids = 0
     dist_sum = 0.0
     n_match = 0
+    match_scores: List[float] = []
     last_match: Dict[str, str] = {}  # gt instance -> track id
 
     for tok in frame_order:
@@ -132,12 +135,13 @@ def _match_frames(
             last_match[inst] = track
             dist_sum += float(d[gi, pi])
             n_match += 1
+            match_scores.append(float(preds[pi]["tracking_score"]))
 
         tp += len(pairs)
         fp += len(preds) - len(matched_pr)
         fn += len(gts) - len(matched_gt)
 
-    return tp, fp, fn, ids, dist_sum, n_match
+    return tp, fp, fn, ids, dist_sum, n_match, match_scores
 
 
 def evaluate_tracking(
@@ -167,10 +171,18 @@ def evaluate_tracking(
         if num_gt == 0:
             continue
 
-        scores = sorted(
-            (p["tracking_score"] for v in pred_frames.values() for p in v),
-            reverse=True,
+        # Sweep thresholds come from the scores of MATCHED predictions in
+        # an unthresholded pass — the devkit's compute_thresholds semantics
+        # (nuscenes/eval/tracking/algo.py). Selecting from ALL prediction
+        # scores is subtly wrong: any high-scoring FP shifts every bin's
+        # threshold so the achieved recall lands just below target, and
+        # classes with a few confident FPs (e.g. interpolated trailer
+        # boxes) silently zero out (round-4 flagship: trailer AMOTA was
+        # exactly 1/40 because 39 of 40 bins were skipped this way).
+        *_, match_scores = _match_frames(
+            gt_frames, pred_frames, frame_order, -np.inf
         )
+        scores = sorted(match_scores, reverse=True)
         if not scores:
             per_class[cls] = dict(amota=0.0, amotp=float("nan"), mota=0.0,
                                   ids=0, tp=0, fp=0, fn=num_gt, recall=0.0)
@@ -184,11 +196,11 @@ def evaluate_tracking(
             if k > len(scores):
                 break
             thresh = scores[k - 1]
-            tp, fp_, fn_, ids, dsum, nm = _match_frames(
+            tp, fp_, fn_, ids, dsum, nm, _ = _match_frames(
                 gt_frames, pred_frames, frame_order, thresh
             )
             rec = tp / num_gt
-            if rec < r - 1e-9 or tp == 0:
+            if tp == 0:
                 continue
             # MOTAR with the achieved recall: since FN == (1 - rec) * P per
             # construction, 1 - (IDS+FP+FN-(1-rec)P)/(rec P) reduces to

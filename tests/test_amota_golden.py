@@ -57,11 +57,15 @@ def test_perfect_tracking_amota_one():
 def test_single_high_scoring_fp_golden():
     """P = 10 GT; 10 TPs at score 0.9; 1 far FP at score 0.95.
 
-    Derivation: sorted scores [0.95, 0.9 x10]; bin r has threshold =
-    ceil(10 r)-th score. The r = 0.1 bin selects only the FP (tp = 0,
-    bin contributes 0). Every other bin's threshold is 0.9: recall 1.0,
-    FP = 1, IDS = 0 -> MOTAR = 1 - 1/(1.0 * 10) = 0.9.
-    AMOTA = 39 bins * 0.9 / 40 bins = 0.87750 exactly.
+    Derivation (devkit threshold semantics — thresholds come from the
+    MATCHED predictions' scores, ``compute_thresholds`` in
+    nuscenes/eval/tracking/algo.py): matched scores are [0.9 x10], so
+    every bin's threshold is 0.9. At 0.9 the FP (0.95) passes too:
+    recall 1.0, FP = 1, IDS = 0 -> MOTAR = 1 - 1/(1.0 * 10) = 0.9 in all
+    40 bins -> AMOTA = 0.9 exactly. (Deriving thresholds from ALL scores
+    instead would hand the r = 0.1 bin to the FP alone and skip bins
+    whose achieved recall lands below target — the round-4 trailer bug,
+    where one confident interpolated FP zeroed 39/40 bins.)
     """
     gt = _gt_track()
     preds = _preds_on(gt) + [
@@ -74,7 +78,7 @@ def test_single_high_scoring_fp_golden():
         }
     ]
     res = evaluate_tracking(gt, preds, FRAMES)
-    np.testing.assert_allclose(res.per_class["car"]["amota"], 39 * 0.9 / 40)
+    np.testing.assert_allclose(res.per_class["car"]["amota"], 0.9)
     assert res.per_class["car"]["fp"] == 1
     assert res.amotp == 0.0
 
