@@ -7,8 +7,11 @@ framework also wraps when the devkit is installed
 a native implementation of the protocol so CI and environments without the
 devkit / dataset can still compute end metrics:
 
-  * per class, predictions are swept over ``n_recalls`` recall thresholds
-    (the nips-2019 protocol uses 40);
+  * per class, predictions are swept over ``n_recalls`` recall targets
+    (the nips-2019 protocol uses 40); the score threshold per target is
+    interpolated over the (recall, score) staircase of the MATCHED
+    predictions from an unthresholded pass, exactly the devkit's
+    ``compute_thresholds`` (nuscenes/eval/tracking/algo.py);
   * per threshold, frames are matched GT<->prediction by BEV center distance
     <= 2 m with match persistence (CLEAR-MOT style: keep last frame's pairs
     when still valid, Hungarian on the remainder);
@@ -182,23 +185,34 @@ def evaluate_tracking(
         *_, match_scores = _match_frames(
             gt_frames, pred_frames, frame_order, -np.inf
         )
-        scores = sorted(match_scores, reverse=True)
-        if not scores:
+        scores = np.sort(np.asarray(match_scores, float))[::-1]
+        if scores.size == 0:
             per_class[cls] = dict(amota=0.0, amotp=float("nan"), mota=0.0,
                                   ids=0, tp=0, fp=0, fn=num_gt, recall=0.0)
             continue
 
+        # Thresholds are interpolated at the target recalls over the
+        # (recall, score) staircase of the unthresholded matches — the
+        # devkit's exact formula (np.interp(rec_interp, rec, scores) with
+        # rec = cumsum(1)/num_gt); targets beyond the max achieved recall
+        # get NaN there and contribute the worst value (0) to AMOTA, which
+        # the skip below reproduces.
+        match_rec = np.arange(1, scores.size + 1) / num_gt
         recalls = np.linspace(min_recall, 1.0, n_recalls)
+        thresholds = np.interp(recalls, match_rec, scores)
+        max_recall = float(match_rec[-1])
         motars, motps, achieved = [], [], []
         best = None
-        for r in recalls:
-            k = int(np.ceil(r * num_gt))
-            if k > len(scores):
+        cache: Dict[float, tuple] = {}
+        for r, thresh in zip(recalls, thresholds):
+            if r > max_recall + 1e-12:
                 break
-            thresh = scores[k - 1]
-            tp, fp_, fn_, ids, dsum, nm, _ = _match_frames(
-                gt_frames, pred_frames, frame_order, thresh
-            )
+            thresh = float(thresh)
+            if thresh not in cache:
+                cache[thresh] = _match_frames(
+                    gt_frames, pred_frames, frame_order, thresh
+                )
+            tp, fp_, fn_, ids, dsum, nm, _ = cache[thresh]
             rec = tp / num_gt
             if tp == 0:
                 continue
