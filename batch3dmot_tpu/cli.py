@@ -868,6 +868,34 @@ def _run_predict(
             )
             scene_iter.append((scene, windows))
 
+    # lidar/radar upload at half precision by default (predict.point_dtype;
+    # models.encoders.points_input_f32 upcasts on device — the MXU ingests
+    # operands as bf16 anyway, so nothing the chip computes gets coarser).
+    # Cast ONCE at load so every pipeline sees the same f16-rounded values:
+    # the 'windows' parity path re-casts to f32 on host (pad_graph) and so
+    # uploads full-width but IDENTICAL values — cross-pipeline equivalence
+    # stays exact.
+    if not is_pose and cfg.predict.point_dtype == "float16":
+        import dataclasses as _dc
+
+        def _half(obj):
+            if obj is None:
+                return None
+            rep = {
+                f: getattr(obj, f).astype(np.float16)
+                for f in ("lidar", "radar")
+                if getattr(obj, f) is not None
+                and getattr(obj, f).dtype == np.float32
+            }
+            return _dc.replace(obj, **rep) if rep else obj
+
+        if pipeline == "device":
+            scene_iter = ((_half(s), ws) for s, ws in scene_iter)
+        else:
+            scene_iter = [
+                (_half(s), [_half(w) for w in ws]) for s, ws in scene_iter
+            ]
+
     if pipeline == "windows":
         scorer = make_scorer(model, variables, mesh=mesh)
     elif pipeline == "encoded":
@@ -897,17 +925,20 @@ def _run_predict(
     n_resumed = 0
     n_resumed_edges = 0
 
-    def _score_one(scene, windows):
-        if pipeline == "device":
-            from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
+    def _device_postprocess(items, avgs):
+        from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
 
-            avg_scores = device_pipe.score_scene(scene)
+        out = []
+        for (scene, _), avg in zip(items, avgs):
             kept = threshold_edges(
-                avg_scores, scene, cfg.predict.edge_score_thresholds
+                avg, scene, cfg.predict.edge_score_thresholds
             )
             # averaged UNIQUE edges (other pipelines count raw
             # per-window observations — the printed label differs)
-            return greedy_round(kept), avg_scores, len(avg_scores)
+            out.append((greedy_round(kept), avg, len(avg)))
+        return out
+
+    def _score_one(scene, windows):
         pred_edges, avg_scores = predict_scene(
             scorer, scene, windows, cfg,
             buckets=run_buckets, m_pad=run_m_pad,
@@ -978,17 +1009,6 @@ def _run_predict(
         )
 
     def _score_group(items):
-        if pipeline == "device" and len(items) > 1:
-            from batch3dmot_tpu.infer.predict import greedy_round, threshold_edges
-
-            avgs = device_pipe.score_scenes([s for s, _ in items])
-            out = []
-            for (scene, _), avg in zip(items, avgs):
-                kept = threshold_edges(
-                    avg, scene, cfg.predict.edge_score_thresholds
-                )
-                out.append((greedy_round(kept), avg, len(avg)))
-            return out
         if pipeline == "encoded" and group_size > 1:
             # cross-scene grouped encode + one scanned scoring dispatch per
             # group (partial last groups pad to group_size: same program)
@@ -1061,7 +1081,28 @@ def _run_predict(
         def _stage(item):
             if item is None or item[0] == "cached":
                 return item
-            return ("fut", item[1], ex.submit(_score_group, item[1]))
+            items = item[1]
+            if pipeline == "device":
+                # dispatch (host->device upload + program enqueue) on THIS
+                # thread, so staging group i+1 overlaps its relay transfer
+                # with the chip still computing group i; the worker thread
+                # only fetches the compact result + postprocesses. Through
+                # the relay the upload is the per-scene wall — serializing
+                # it behind the previous fetch wastes the whole device/fetch
+                # time (docs/RESULTS.md round 4).
+                pending = device_pipe.dispatch_scenes(
+                    [s for s, _ in items]
+                )
+                return (
+                    "fut",
+                    items,
+                    ex.submit(
+                        lambda p=pending, it=items: _device_postprocess(
+                            it, device_pipe.finalize_scenes(p)
+                        )
+                    ),
+                )
+            return ("fut", items, ex.submit(_score_group, items))
 
         it = _items()
         staged = _stage(next(it, None))

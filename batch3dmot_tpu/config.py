@@ -259,6 +259,13 @@ class PredictConfig:
         default_factory=lambda: dict(DEFAULT_EDGE_SCORE_THRESHOLDS)
     )
     interpolate_trailer_tracks: bool = True
+    # Upload dtype for lidar/radar point clouds at inference. "float16"
+    # (default) halves ~45% of the per-scene host->device bytes — the
+    # relay-transfer wall (docs/RESULTS.md round 4) — and costs no accuracy
+    # the MXU wasn't already paying (matmul operands ingest as bf16, which
+    # is coarser than f16; models.encoders.points_input_f32 upcasts on
+    # device). "float32" restores exact full-precision uploads.
+    point_dtype: str = "float16"
 
 
 @dataclass
@@ -304,6 +311,11 @@ class Config:
         gc = self.graph_construction
         if gc.match_method not in ("center_dist", "iou"):
             raise ValueError(f"Unknown match_method '{gc.match_method}'")
+        if self.predict.point_dtype not in ("float16", "float32"):
+            raise ValueError(
+                f"Unknown predict.point_dtype '{self.predict.point_dtype}' "
+                "(use 'float16' or 'float32')"
+            )
 
     # ---- YAML loading -------------------------------------------------
 

@@ -410,15 +410,19 @@ class DeviceScenePipeline:
             )
         }
 
-    def score_scene(
-        self, scene: SceneDetections
-    ) -> Dict[Tuple[int, int], float]:
-        """Cross-window-averaged edge scores keyed by scene detection
-        indices (equivalent to infer.predict.average_scene_edges over the
-        host pipeline's windows)."""
+    def dispatch_scene(self, scene: SceneDetections):
+        """Upload one scene's arrays and ENQUEUE its scoring program,
+        returning the un-fetched device result (or None for empty scenes).
+
+        Dispatch is asynchronous: splitting it from :meth:`finalize_scene`
+        lets a caller upload scene i+1 while the chip still computes scene
+        i — through the TPU relay the host->device transfer (~MB/scene at
+        10-40 MB/s) is the per-scene wall, and serializing it behind the
+        previous fetch wastes exactly that compute+fetch time
+        (docs/RESULTS.md round 4)."""
         q = self._quanta(scene)
         if q is None:
-            return {}
+            return None
         m_pad, real_windows, max_nodes = q
         # window-count quantum: 8, lifted to a multiple of the mesh so the
         # window grid shards evenly (m_pad multiples of 256 already divide)
@@ -465,34 +469,45 @@ class DeviceScenePipeline:
                     "device_pipeline",
                     f"{m_pad}_{num_windows}_{max_nodes}_{self.window_len}_"
                     f"{self.k}_{self.fused}_{type(self.model).__name__}_"
+                    # modality upload dtypes are part of the program input
+                    # signature (uint8 crops, f16 points)
+                    f"{args[12].dtype}_{args[13].dtype}_{args[14].dtype}_"
                     f"{self._arch_digest}_{self._var_digest}",
                     self.aot_dir,
                     (self.variables, *args),
                 )
             else:
                 self._compiled[key] = jax.jit(fn)
-        packed = np.asarray(self._compiled[key](self.variables, *args))
-        return self._average(packed)
+        return self._compiled[key](self.variables, *args)
 
-    def score_scenes(
-        self, scenes: List[SceneDetections]
-    ) -> List[Dict[Tuple[int, int], float]]:
-        """Cross-scene grouped dispatch: score a GROUP of scenes in ONE
-        program call (scene axis vmapped; on a mesh, whole scenes shard
-        across chips — the reference's 8-way inference fan-out,
-        ``predict.py:636-650``, as SPMD instead of a process pool).
+    def finalize_scene(self, pending) -> Dict[Tuple[int, int], float]:
+        """Fetch + unpack a :meth:`dispatch_scene` result (blocks on the
+        device program and the relay transfer)."""
+        if pending is None:
+            return {}
+        return self._average(np.asarray(pending))
 
-        Equivalent to ``[score_scene(s) for s in scenes]`` but pays the
-        relay round trip (host->device transfer, dispatch, result fetch)
-        once per group instead of once per scene — that round trip is the
-        steady-state floor of per-scene dispatch (docs/RESULTS.md)."""
+    def score_scene(
+        self, scene: SceneDetections
+    ) -> Dict[Tuple[int, int], float]:
+        """Cross-window-averaged edge scores keyed by scene detection
+        indices (equivalent to infer.predict.average_scene_edges over the
+        host pipeline's windows)."""
+        return self.finalize_scene(self.dispatch_scene(scene))
+
+    def dispatch_scenes(self, scenes: List[SceneDetections]):
+        """Cross-scene grouped dispatch WITHOUT the fetch: upload a GROUP of
+        scenes and enqueue its scoring (one vmapped program when grouping
+        applies, per-scene programs when density routing rejects grouping —
+        either way every dispatch is enqueued before any result is fetched).
+        Returns an opaque pending object for :meth:`finalize_scenes`; see
+        :meth:`dispatch_scene` for why dispatch and fetch are split."""
         if len(scenes) == 1:
-            return [self.score_scene(scenes[0])]
+            return ("singles", [self.dispatch_scene(scenes[0])])
         quanta = [self._quanta(s) for s in scenes]
         live = [i for i, q in enumerate(quanta) if q is not None]
-        results: List[Dict[Tuple[int, int], float]] = [{} for _ in scenes]
         if not live:
-            return results
+            return ("singles", [None] * len(scenes))
         # group quanta: max over members (coarse quantization keeps the
         # waste bounded; a whole split shares a handful of group programs)
         m_pad = max(quanta[i][0] for i in live)
@@ -525,9 +540,14 @@ class DeviceScenePipeline:
             )
             and fused_supported(max_nodes, e_cnt, num_windows)
         ):
-            for i in live:
-                results[i] = self.score_scene(scenes[i])
-            return results
+            live_set = set(live)
+            return (
+                "singles",
+                [
+                    self.dispatch_scene(s) if i in live_set else None
+                    for i, s in enumerate(scenes)
+                ],
+            )
         prepared = [
             self._prepare(scenes[i], m_pad, num_windows) for i in live
         ]
@@ -579,6 +599,8 @@ class DeviceScenePipeline:
                         "device_pipeline_grp",
                         f"{S}_{m_pad}_{num_windows}_{max_nodes}_"
                         f"{self.window_len}_{self.k}_{self.fused}_"
+                        f"{stacked[12].dtype}_{stacked[13].dtype}_"
+                        f"{stacked[14].dtype}_"
                         f"{type(self.model).__name__}_{self._arch_digest}_"
                         f"{self._var_digest}",
                         self.aot_dir,
@@ -586,10 +608,40 @@ class DeviceScenePipeline:
                     )
                 else:
                     self._compiled[key] = jax.jit(fn)
-        packed = np.asarray(self._compiled[key](self.variables, *stacked))
+        return (
+            "group",
+            self._compiled[key](self.variables, *stacked),
+            live,
+            len(scenes),
+        )
+
+    def finalize_scenes(
+        self, pending
+    ) -> List[Dict[Tuple[int, int], float]]:
+        """Fetch + unpack a :meth:`dispatch_scenes` result."""
+        kind = pending[0]
+        if kind == "singles":
+            return [self.finalize_scene(h) for h in pending[1]]
+        _, packed_dev, live, n = pending
+        packed = np.asarray(packed_dev)
+        results: List[Dict[Tuple[int, int], float]] = [{} for _ in range(n)]
         for row, i in enumerate(live):
             results[i] = self._average(packed[row])
         return results
+
+    def score_scenes(
+        self, scenes: List[SceneDetections]
+    ) -> List[Dict[Tuple[int, int], float]]:
+        """Cross-scene grouped dispatch: score a GROUP of scenes in ONE
+        program call (scene axis vmapped; on a mesh, whole scenes shard
+        across chips — the reference's 8-way inference fan-out,
+        ``predict.py:636-650``, as SPMD instead of a process pool).
+
+        Equivalent to ``[score_scene(s) for s in scenes]`` but pays the
+        relay round trip (host->device transfer, dispatch, result fetch)
+        once per group instead of once per scene — that round trip is the
+        steady-state floor of per-scene dispatch (docs/RESULTS.md)."""
+        return self.finalize_scenes(self.dispatch_scenes(scenes))
 
 
 def predict_scene_device(

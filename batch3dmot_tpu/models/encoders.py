@@ -26,6 +26,20 @@ from flax import linen as nn
 _BN = dict(momentum=0.9, epsilon=1e-5)
 
 
+def points_input_f32(x: jax.Array) -> jax.Array:
+    """Accept float16 or float32 point clouds; compute in f32.
+
+    LiDAR/radar points upload at half precision by default at inference
+    (``predict.point_dtype``): they are ~45% of the per-scene host->device
+    bytes through the TPU relay (the per-scene wall, docs/RESULTS.md round
+    4), and the MXU already ingests matmul operands as bf16 — which is
+    COARSER than f16 — so the cast costs no accuracy the chip wasn't
+    already paying. The upcast happens here, on device, inside the jit."""
+    if x.dtype in (jnp.float16, jnp.bfloat16):
+        return x.astype(jnp.float32)
+    return x
+
+
 def image_input_f32(x: jax.Array) -> jax.Array:
     """Accept uint8 (0..255) or float ([0,1]) image batches.
 
@@ -168,6 +182,7 @@ class PointNetFeat(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        x = points_input_f32(x)
         trans = _TNet(3, name="stn")(x, train)
         h = jnp.einsum("bpc,bcd->bpd", x, trans)
         h = nn.Dense(64, name="mlp_0")(h)
@@ -240,7 +255,7 @@ class RadarNetFeat(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Dense(64, name="mlp_0")(x)
+        h = nn.Dense(64, name="mlp_0")(points_input_f32(x))
         h = nn.BatchNorm(use_running_average=not train, name="bn_0", **_BN)(h)
         h = nn.relu(h)
         h = nn.Dense(128, name="mlp_1")(h)

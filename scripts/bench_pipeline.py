@@ -35,6 +35,19 @@ def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
         )
         for i in range(n_scenes)
     ]
+    if os.environ.get("B3D_BENCH_POINT_F16"):
+        # the CLI predict default (predict.point_dtype=float16): half the
+        # lidar/radar upload bytes, upcast on device
+        import dataclasses
+
+        scenes = [
+            dataclasses.replace(
+                s,
+                lidar=s.lidar.astype(np.float16),
+                radar=s.radar.astype(np.float16),
+            )
+            for s in scenes
+        ]
     model = MultimodalGNN()
     s = scenes[0]
     idx = np.arange(min(8, s.num_detections))
@@ -66,6 +79,20 @@ def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
     for label in ("pass1 (compiles)", "pass2 (steady)"):
         sweep(label, per_scene)
 
+    # 1-deep pipelined dispatch: scene i+1's upload overlaps scene i's
+    # device compute + fetch (the CLI predict loop's dispatch/finalize
+    # staging)
+    def pipelined():
+        total, pending = 0, None
+        for s in scenes:
+            nxt = pipe.dispatch_scene(s)
+            if pending is not None:
+                total += len(pipe.finalize_scene(pending))
+            pending = nxt
+        return total + len(pipe.finalize_scene(pending))
+
+    sweep("pipelined steady", pipelined)
+
     # cross-scene grouped dispatch: one program call per G scenes
     for g in (2, 4):
         def grouped():
@@ -78,6 +105,21 @@ def main(n_scenes=8, num_frames=12, num_tracks=12, window_len=3, k=8):
 
         sweep(f"group{g} pass1 (compiles)", grouped)
         sweep(f"group{g} steady", grouped)
+
+        def grouped_pipelined():
+            total, pending = 0, None
+            for i in range(0, n_scenes, g):
+                nxt = pipe.dispatch_scenes(scenes[i : i + g])
+                if pending is not None:
+                    total += sum(
+                        len(r) for r in pipe.finalize_scenes(pending)
+                    )
+                pending = nxt
+            return total + sum(
+                len(r) for r in pipe.finalize_scenes(pending)
+            )
+
+        sweep(f"group{g} pipelined steady", grouped_pipelined)
 
 
 if __name__ == "__main__":

@@ -337,6 +337,45 @@ def test_device_pipeline_matches_host_path():
         assert abs(host_avg[key] - dev_avg[key]) < 1e-4, key
 
 
+def test_device_pipeline_f16_point_upload_close_to_f32():
+    """Half-precision point-cloud uploads (predict.point_dtype=float16,
+    the default): the pipeline accepts f16 lidar/radar and upcasts on
+    device (models.encoders.points_input_f32). Same edges must come back,
+    scores within input-rounding distance of the f32 run (f16 rounds at
+    ~5e-4 relative — coarser perturbations than the bf16 the MXU already
+    applies to matmul operands on the real chip)."""
+    import dataclasses
+
+    import jax
+
+    from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
+    from batch3dmot_tpu.models import MultimodalGNN
+
+    scene = make_synthetic_scene(
+        seed=11, num_frames=6, num_tracks=4, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+    pipe = DeviceScenePipeline(model, variables, window_len=3, k=4)
+
+    full = pipe.score_scene(scene)
+    half_scene = dataclasses.replace(
+        scene,
+        lidar=scene.lidar.astype(np.float16),
+        radar=scene.radar.astype(np.float16),
+    )
+    half = pipe.score_scene(half_scene)
+
+    assert set(full) == set(half) and full
+    diffs = [abs(full[k] - half[k]) for k in full]
+    assert max(diffs) < 5e-3, max(diffs)
+
+
 def test_device_averaging_merges_duplicates_at_long_windows():
     """device_average_scores (on-device cross-window averaging) must
     reproduce host averaging when edges recur in MANY overlapping windows
