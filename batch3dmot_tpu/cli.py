@@ -1009,20 +1009,8 @@ def _run_predict(
         )
 
     def _score_group(items):
-        if pipeline == "encoded" and group_size > 1:
-            # cross-scene grouped encode + one scanned scoring dispatch per
-            # group (partial last groups pad to group_size: same program)
-            from batch3dmot_tpu.infer.predict import predict_scenes
-
-            outs = predict_scenes(
-                scorer, items, cfg,
-                buckets=run_buckets, m_pad=run_m_pad,
-                group_pad=group_size, num_batches=enc_num_batches,
-            )
-            return [
-                (pe, avg, sum(w.num_edges for w in ws))
-                for (pe, avg), (_, ws) in zip(outs, items)
-            ]
+        # device groups and encoded groups (group_size > 1) are staged via
+        # dispatch/finalize in _stage below; this handles the rest
         return [_score_one(s, w) for s, w in items]
 
     def _items():
@@ -1102,6 +1090,29 @@ def _run_predict(
                         )
                     ),
                 )
+            if pipeline == "encoded" and group_size > 1:
+                # same dispatch/finalize overlap for the store-backed
+                # encoded path (one grouped encode + one scanned scoring
+                # dispatch per group; the worker fetches + aggregates)
+                from batch3dmot_tpu.infer.predict import (
+                    dispatch_predict_scenes,
+                    finalize_predict_scenes,
+                )
+
+                staged_enc = dispatch_predict_scenes(
+                    scorer, items, cfg,
+                    buckets=run_buckets, m_pad=run_m_pad,
+                    group_pad=group_size, num_batches=enc_num_batches,
+                )
+
+                def _fin(s=staged_enc, it=items):
+                    outs = finalize_predict_scenes(scorer, s)
+                    return [
+                        (pe, avg, sum(w.num_edges for w in ws))
+                        for (pe, avg), (_, ws) in zip(outs, it)
+                    ]
+
+                return ("fut", items, ex.submit(_fin))
             return ("fut", items, ex.submit(_score_group, items))
 
         it = _items()

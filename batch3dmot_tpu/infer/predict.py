@@ -355,7 +355,7 @@ class SceneEncodedScorer:
                     results[i] = scores[slot, : windows[i].num_edges]
         return results  # type: ignore[return-value]
 
-    def score_scenes(
+    def dispatch_scenes(
         self,
         scenes: Sequence["SceneDetections"],
         windows_list: Sequence[Sequence[WindowGraphArrays]],
@@ -364,8 +364,13 @@ class SceneEncodedScorer:
         m_pad: Optional[int] = None,
         group_pad: Optional[int] = None,
         num_batches: Optional[int] = None,
-    ) -> List[List[np.ndarray]]:
-        """Cross-scene grouped scoring: ONE encode dispatch for the whole
+    ):
+        """Upload + enqueue WITHOUT the fetch (see
+        :meth:`DeviceScenePipeline.dispatch_scene` for why): returns an
+        opaque pending object for :meth:`finalize_scenes`, letting the
+        caller overlap the next group's host->device transfer with this
+        group's device compute. Cross-scene grouped scoring: ONE encode
+        dispatch for the whole
         scene group (detections stacked at ``g * m_pad`` row offsets) and ONE
         scanned scoring dispatch + fetch per bucket, pooling every scene's
         windows into shared batches.
@@ -454,6 +459,7 @@ class SceneEncodedScorer:
                     pick_bucket(w.num_nodes, w.num_edges, buckets)
                 ].append((g, i))
 
+        fetches = []
         for (mn, me), idxs in by_bucket.items():
             nb = -(-len(idxs) // windows_per_batch)
             nb_pad = max(num_batches or nb, nb)
@@ -481,19 +487,46 @@ class SceneEncodedScorer:
                 batch_graphs(graphs),
             )
             det_stack = np.stack(dets).reshape(nb_pad, windows_per_batch, mn)
-            scores = np.asarray(
+            fetches.append((
+                idxs,
                 self._fwd_stack(
                     shard_stack(stacked),
                     shard_stack(jnp.asarray(det_stack)),
                     enc,
-                )
-            )
+                ),
+            ))
+        return results, fetches, windows_list, windows_per_batch
+
+    def finalize_scenes(self, pending) -> List[List[np.ndarray]]:
+        """Fetch + slice a :meth:`dispatch_scenes` result (blocks on the
+        device programs and the relay transfers)."""
+        results, fetches, windows_list, windows_per_batch = pending
+        for idxs, dev in fetches:
+            scores = np.asarray(dev)
             for pos, (g, i) in enumerate(idxs):
                 b, slot = divmod(pos, windows_per_batch)
                 results[g][i] = scores[
                     b, slot, : windows_list[g][i].num_edges
                 ]
         return results  # type: ignore[return-value]
+
+    def score_scenes(
+        self,
+        scenes: Sequence["SceneDetections"],
+        windows_list: Sequence[Sequence[WindowGraphArrays]],
+        windows_per_batch: int = 8,
+        buckets=DEFAULT_BUCKETS,
+        m_pad: Optional[int] = None,
+        group_pad: Optional[int] = None,
+        num_batches: Optional[int] = None,
+    ) -> List[List[np.ndarray]]:
+        """:meth:`dispatch_scenes` + :meth:`finalize_scenes` in one call."""
+        return self.finalize_scenes(
+            self.dispatch_scenes(
+                scenes, windows_list, windows_per_batch, buckets,
+                m_pad=m_pad, group_pad=group_pad, num_batches=num_batches,
+            )
+        )
 
 
 def score_windows(
@@ -720,6 +753,47 @@ def aggregate_scene_edges(
     return pred_edges, avg
 
 
+def dispatch_predict_scenes(
+    scorer: "SceneEncodedScorer",
+    items: Sequence[Tuple[SceneDetections, Sequence[WindowGraphArrays]]],
+    cfg: Optional[Config] = None,
+    buckets=DEFAULT_BUCKETS,
+    m_pad: Optional[int] = None,
+    group_pad: Optional[int] = None,
+    num_batches: Optional[int] = None,
+):
+    """Upload + enqueue half of :func:`predict_scenes` (see
+    ``SceneEncodedScorer.dispatch_scenes``): the CLI predict loop dispatches
+    group i+1 while group i's fetch + aggregation run on a worker thread,
+    overlapping the relay transfer with device compute."""
+    thresholds = (
+        cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
+    )
+    wpb = cfg.predict.windows_per_batch if cfg else 8
+    pending = scorer.dispatch_scenes(
+        [s for s, _ in items],
+        [ws for _, ws in items],
+        wpb,
+        buckets,
+        m_pad=m_pad,
+        group_pad=group_pad,
+        num_batches=num_batches,
+    )
+    return items, thresholds, pending
+
+
+def finalize_predict_scenes(
+    scorer: "SceneEncodedScorer", staged
+) -> List[Tuple[list, dict]]:
+    """Fetch + aggregate a :func:`dispatch_predict_scenes` result."""
+    items, thresholds, pending = staged
+    all_scores = scorer.finalize_scenes(pending)
+    return [
+        aggregate_scene_edges(scene, windows, scores, thresholds)
+        for (scene, windows), scores in zip(items, all_scores)
+    ]
+
+
 def predict_scenes(
     scorer: "SceneEncodedScorer",
     items: Sequence[Tuple[SceneDetections, Sequence[WindowGraphArrays]]],
@@ -733,20 +807,10 @@ def predict_scenes(
     encode + one scanned scoring dispatch (``SceneEncodedScorer.score_scenes``)
     then per-scene aggregation. Returns ``[(pred_edges, avg_scores), ...]``
     in input order."""
-    thresholds = (
-        cfg.predict.edge_score_thresholds if cfg else DEFAULT_EDGE_SCORE_THRESHOLDS
+    return finalize_predict_scenes(
+        scorer,
+        dispatch_predict_scenes(
+            scorer, items, cfg, buckets,
+            m_pad=m_pad, group_pad=group_pad, num_batches=num_batches,
+        ),
     )
-    wpb = cfg.predict.windows_per_batch if cfg else 8
-    all_scores = scorer.score_scenes(
-        [s for s, _ in items],
-        [ws for _, ws in items],
-        wpb,
-        buckets,
-        m_pad=m_pad,
-        group_pad=group_pad,
-        num_batches=num_batches,
-    )
-    return [
-        aggregate_scene_edges(scene, windows, scores, thresholds)
-        for (scene, windows), scores in zip(items, all_scores)
-    ]

@@ -283,10 +283,15 @@ def test_device_pipeline_group_routes_biggest_bucket_to_singles(monkeypatch):
     # condition to trigger
     assert max(pipe._quanta(s)[2] for s in scenes) == 512
 
+    # the pipelined singles path goes dispatch_scene -> finalize_scene
     called = []
     monkeypatch.setattr(
-        type(pipe), "score_scene",
-        lambda self, s: called.append(s.scene_token) or {(0, 1): 0.5},
+        type(pipe), "dispatch_scene",
+        lambda self, s: called.append(s.scene_token) or "pend",
+    )
+    monkeypatch.setattr(
+        type(pipe), "finalize_scene",
+        lambda self, p: {(0, 1): 0.5} if p == "pend" else {},
     )
     results = pipe.score_scenes(scenes)
     assert called == ["dense0", "dense1"]
@@ -313,11 +318,16 @@ def test_device_pipeline_group_routes_chip_filling_scenes_to_singles(
         for i in range(2)
     ]
 
+    # the pipelined singles path goes dispatch_scene -> finalize_scene
     called = []
+    cls = type(DeviceScenePipeline(MultimodalGNN(), None, 2, 4))
     monkeypatch.setattr(
-        type(DeviceScenePipeline(MultimodalGNN(), None, 2, 4)),
-        "score_scene",
-        lambda self, s: called.append(s.scene_token) or {(0, 1): 0.5},
+        cls, "dispatch_scene",
+        lambda self, s: called.append(s.scene_token) or "pend",
+    )
+    monkeypatch.setattr(
+        cls, "finalize_scene",
+        lambda self, p: {(0, 1): 0.5} if p == "pend" else {},
     )
 
     # L=5 trainval density: chip-filling -> per-scene
@@ -329,7 +339,7 @@ def test_device_pipeline_group_routes_chip_filling_scenes_to_singles(
     assert pipe5.score_scenes(scenes) == [{(0, 1): 0.5}] * 2
     assert called == ["tv0", "tv1"]
 
-    # L=2 trainval density: underfills -> grouped (score_scene NOT called;
+    # L=2 trainval density: underfills -> grouped (dispatch_scene NOT called;
     # the grouped path would need real variables, so a sentinel raise
     # proves the branch taken)
     called.clear()
