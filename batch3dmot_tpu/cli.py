@@ -334,11 +334,15 @@ def cmd_train_gnn(args) -> None:
             groups = groups + (
                 val_ds if isinstance(val_ds, list) else [val_ds]
             )
-        ds_bytes = sum(
-            a.nbytes
-            for g in groups
-            for a in jax.tree.leaves(g[0] if g[1] is None else g[:2])
-        )
+        seen_ids = set()
+        ds_bytes = 0
+        for g in groups:
+            for a in jax.tree.leaves(g[0] if g[1] is None else g[:2]):
+                # dedup-form groups share one encoding table object;
+                # count each shared array once
+                if id(a) not in seen_ids:
+                    seen_ids.add(id(a))
+                    ds_bytes += a.nbytes
         n_chips = mesh.size if mesh is not None else 1
         limit_gb = float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
         if ds_bytes > limit_gb * 2**30 * n_chips:
@@ -418,8 +422,13 @@ def cmd_train_gnn(args) -> None:
             # through a remote-TPU relay, CLAUDE.md relay economics).
             # Opt-in: the dataset must fit in (mesh-combined) HBM next to
             # the working set (the streaming default has no such bound).
+            # Deduplicated form (train/encoded.DedupEncodings): one global
+            # per-detection embedding table gathered on device instead of
+            # per-window pre-gathered buffers — ~L x less HBM at window
+            # length L, which is what lets trainval-scale datasets go
+            # device-resident on ONE chip.
             from batch3dmot_tpu.train.encoded import (
-                materialize_encoded_datasets,
+                materialize_encoded_datasets_dedup,
                 scene_encodings_cached,
             )
 
@@ -438,8 +447,8 @@ def cmd_train_gnn(args) -> None:
 
             val_items = encoded_items(val_paths)
             return _fit_device_dataset(
-                materialize_encoded_datasets(encoded_items(train_paths)),
-                materialize_encoded_datasets(val_items)
+                materialize_encoded_datasets_dedup(encoded_items(train_paths)),
+                materialize_encoded_datasets_dedup(val_items)
                 if val_items else None,
             )
         # scene-streaming: memory bounded by one scene; encoding tables

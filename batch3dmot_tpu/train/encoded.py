@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -354,6 +354,144 @@ def materialize_encoded_datasets(
     )
     return [
         materialize_encoded_dataset([items[i] for i in idxs], bucket=b)
+        for b, idxs in groups
+    ]
+
+
+class DedupEncodings(NamedTuple):
+    """Device-resident encodings in DEDUPLICATED form.
+
+    The dense materializer stores per-WINDOW gathered encoding buffers
+    ``[W+1, mn, 608]`` — every detection's embedding duplicated once per
+    window it appears in (~L copies at window length L, plus node padding
+    to ``mn``). This form keeps ONE global per-detection table and gathers
+    rows ON DEVICE inside the scanned epoch instead: at trainval L=5
+    density it is the difference between a dataset that cannot fit one
+    chip's HBM (~12 GiB encodings for 550 scenes) and one that can
+    (~2 GiB), i.e. between streaming at per-batch relay cost and
+    device-resident epochs. NamedTuple => a JAX pytree, so it rides
+    through ``jax.jit``/``device_put`` unchanged.
+    """
+
+    # [W+1, mn] int32 rows into ``table`` (padded node slots and the empty
+    # window point at the all-zero row D)
+    det_index: Any
+    # (x_img [D+1,96], pn [D+1,256], rn [D+1,256],
+    #  lidar_present [D+1] bool, radar_present [D+1] bool)
+    table: Tuple[Any, Any, Any, Any, Any]
+
+
+def build_encoding_table(encs: Sequence[Dict[str, np.ndarray]]):
+    """Concatenate DISTINCT per-scene encoding tables (dedup by object
+    identity — windows of one scene share their scene's dict) into one
+    global table with an all-zero row appended at index D.
+
+    Returns ``(table_tuple, {id(enc): row_offset}, D)``.
+    """
+    offsets: Dict[int, int] = {}
+    uniq: List[Dict[str, np.ndarray]] = []
+    total = 0
+    for enc in encs:
+        if id(enc) in offsets:
+            continue
+        offsets[id(enc)] = total
+        uniq.append(enc)
+        total += len(enc["x_img"])
+    tails = {"x_img": (96,), "pn": (256,), "rn": (256,),
+             "lidar_present": (), "radar_present": ()}
+    dtypes = {"lidar_present": bool, "radar_present": bool}
+    table = tuple(
+        np.concatenate(
+            [np.asarray(e[k]) for e in uniq]
+            + [np.zeros((1, *tails[k]), dtypes.get(k, np.float32))]
+        )
+        for k in ENC_KEYS
+    )
+    return table, offsets, total
+
+
+def _padded_window(w: WindowGraphArrays, mn: int, me: int) -> PaddedGraph:
+    return pad_graph(
+        pose=w.pose, edge_src=w.edge_src, edge_dst=w.edge_dst,
+        edge_attr=w.edge_attr, node_time=w.node_time,
+        node_class=w.node_class, max_nodes=mn, max_edges=me,
+        edge_label=w.edge_label, edge_weight=w.edge_weight,
+        include_modalities=False,
+    )
+
+
+def materialize_encoded_dataset_dedup(
+    windows_with_encodings: Sequence[
+        Tuple[WindowGraphArrays, Dict[str, np.ndarray]]
+    ],
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+    bucket: Optional[Tuple[int, int]] = None,
+    _shared: Optional[Tuple] = None,
+) -> Tuple[PaddedGraph, DedupEncodings, Tuple[int, int]]:
+    """:func:`materialize_encoded_dataset` with the encodings in
+    :class:`DedupEncodings` form (same training numbers — the device-side
+    double gather returns the identical rows the dense form pre-gathered
+    on host). ``_shared`` threads a prebuilt ``(table, offsets, D)``
+    through the per-bucket plural form so every group references ONE
+    table object (uploaded once by ``GNNTrainer._upload_dataset_groups``).
+    """
+    from batch3dmot_tpu.train.data import single_bucket_for
+
+    items = [
+        (w, e)
+        for (w, e) in windows_with_encodings
+        if w.num_nodes > 0 and w.num_edges > 0
+    ]
+    assert items, "materialize_encoded_dataset_dedup: no non-empty windows"
+    mn, me = bucket or single_bucket_for(
+        [(w.num_nodes, w.num_edges) for w, _ in items], buckets
+    )
+    table, offsets, D = _shared or build_encoding_table(
+        [e for _, e in items]
+    )
+
+    W = len(items)
+    g0 = batch_graphs([_padded_window(items[0][0], mn, me)])
+    graphs = jax.tree.map(
+        lambda a: np.zeros((W + 1, *a.shape[1:]), a.dtype), g0
+    )
+    det_index = np.full((W + 1, mn), D, np.int32)
+
+    def fill(k, g1):
+        jax.tree.map(lambda dst, src: dst.__setitem__(k, src[0]), graphs, g1)
+
+    fill(0, g0)
+    det_index[0, : items[0][0].num_nodes] = (
+        offsets[id(items[0][1])] + items[0][0].det_index
+    )
+    for k, (w, e) in enumerate(items[1:], start=1):
+        fill(k, batch_graphs([_padded_window(w, mn, me)]))
+        det_index[k, : w.num_nodes] = offsets[id(e)] + w.det_index
+    fill(W, batch_graphs([empty_graph(mn, me, include_modalities=False)]))
+    return graphs, DedupEncodings(det_index, table), (mn, me)
+
+
+def materialize_encoded_datasets_dedup(
+    windows_with_encodings, buckets=DEFAULT_BUCKETS
+):
+    """Per-bucket groups (``materialize_encoded_datasets``) in dedup form;
+    all groups share ONE encoding table object."""
+    from batch3dmot_tpu.train.data import group_sizes_by_bucket
+
+    items = [
+        (w, e)
+        for (w, e) in windows_with_encodings
+        if w.num_nodes > 0 and w.num_edges > 0
+    ]
+    assert items, "materialize_encoded_datasets_dedup: no non-empty windows"
+    shared = build_encoding_table([e for _, e in items])
+    groups = group_sizes_by_bucket(
+        [(w.num_nodes, w.num_edges) for w, _ in items], buckets
+    )
+    return [
+        materialize_encoded_dataset_dedup(
+            [items[i] for i in idxs], bucket=b, _shared=shared
+        )
         for b, idxs in groups
     ]
 

@@ -412,13 +412,20 @@ class GNNTrainer:
         )
 
     def _gather_device_batch(self, graphs, enc, ib):
+        from batch3dmot_tpu.train.encoded import DedupEncodings
+
         batch = self._constrain_data(jax.tree.map(lambda a: a[ib], graphs))
-        if enc is not None:
-            batch = (
-                batch,
-                self._constrain_data(jax.tree.map(lambda a: a[ib], enc)),
+        if enc is None:
+            return batch
+        if isinstance(enc, DedupEncodings):
+            # deduplicated form: gather the batch's det->table rows, then
+            # gather embeddings from the global table ON DEVICE — identical
+            # values to the dense per-window buffers at ~1/L the HBM
+            rows = self._constrain_data(enc.det_index[ib])  # [B, mn]
+            return batch, self._constrain_data(
+                tuple(t[rows] for t in enc.table)
             )
-        return batch
+        return batch, self._constrain_data(jax.tree.map(lambda a: a[ib], enc))
 
     def _epoch_device(self, state, graphs, enc, idx):
         """One epoch as ONE program: scan over [n_steps, B] index rows,
@@ -453,10 +460,21 @@ class GNNTrainer:
         along the window axis, padding with copies of the empty slot so the
         axis divides — index n_items stays the canonical empty row).
         Returns [(graphs_dev, enc_dev, graphs_np, n_items)]."""
+        from batch3dmot_tpu.train.encoded import DedupEncodings
+
         B = self.cfg.batch_size
         uploaded = []
+        # dedup-form groups share ONE table object — upload it once
+        table_memo: Dict[int, Any] = {}
         for graphs_np, enc_np, _bucket in groups:
             n_items = graphs_np.pose.shape[0] - 1  # last slot: empty pad
+            dedup = isinstance(enc_np, DedupEncodings)
+            # the per-window parts shard along the window axis; the dedup
+            # table replicates (batch gathers index arbitrary rows)
+            windowed_np = (
+                (graphs_np, enc_np.det_index) if dedup
+                else (graphs_np, enc_np)
+            )
             if self.mesh is not None:
                 # one chip's HBM no longer bounds the dataset
                 # (trainval-scale); per-step batch gathers ride ICI
@@ -470,18 +488,40 @@ class GNNTrainer:
                     dup = lambda a: np.concatenate(
                         [a] + [a[-1:]] * pad_rows, axis=0
                     )
-                    graphs_np = jax.tree.map(dup, graphs_np)
-                    if enc_np is not None:
-                        enc_np = jax.tree.map(dup, enc_np)
+                    windowed_np = jax.tree.map(dup, windowed_np)
                 shard = NamedSharding(self.mesh, P(DATA_AXIS))
-                graphs = jax.device_put(graphs_np, shard)
-                enc = (
-                    jax.device_put(enc_np, shard)
-                    if enc_np is not None else None
-                )
+                graphs = jax.device_put(windowed_np[0], shard)
+                if dedup:
+                    if id(enc_np.table) not in table_memo:
+                        table_memo[id(enc_np.table)] = jax.device_put(
+                            enc_np.table, NamedSharding(self.mesh, P())
+                        )
+                    enc = DedupEncodings(
+                        jax.device_put(windowed_np[1], shard),
+                        table_memo[id(enc_np.table)],
+                    )
+                else:
+                    enc = (
+                        jax.device_put(windowed_np[1], shard)
+                        if windowed_np[1] is not None else None
+                    )
+                graphs_np = windowed_np[0]
             else:
                 graphs = jax.device_put(graphs_np)
-                enc = jax.device_put(enc_np) if enc_np is not None else None
+                if dedup:
+                    if id(enc_np.table) not in table_memo:
+                        table_memo[id(enc_np.table)] = jax.device_put(
+                            enc_np.table
+                        )
+                    enc = DedupEncodings(
+                        jax.device_put(enc_np.det_index),
+                        table_memo[id(enc_np.table)],
+                    )
+                else:
+                    enc = (
+                        jax.device_put(enc_np)
+                        if enc_np is not None else None
+                    )
             uploaded.append((graphs, enc, graphs_np, n_items))
         return uploaded
 

@@ -126,3 +126,47 @@ def test_fit_device_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_fit_device_dedup_sharded_matches_single_device():
+    """The DEDUP encoded device-resident form on a mesh: det_index shards
+    along the window axis with the graphs, the global embedding table
+    replicates, and the double gather runs inside the data-parallel step —
+    same losses and parameters as the single-device run."""
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.train.encoded import (
+        materialize_encoded_dataset_dedup,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scene = make_synthetic_scene(
+        seed=2, num_frames=8, num_tracks=5, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    windows = [w for w in build_scene_graphs(scene, 3, gc) if w.num_edges > 0]
+    example = to_padded(windows[0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=8)
+    model = MultimodalGNN(depth=2)
+
+    t1 = GNNTrainer(model, example, cfg, seed=0)
+    t2 = GNNTrainer(
+        model, example, cfg, seed=0, mesh=make_mesh(8),
+        init_variables=jax.tree.map(jax.numpy.array, t1.variables),
+    )
+    enc = precompute_scene_encodings(model, t1.variables, scene, chunk=64)
+    ds = materialize_encoded_dataset_dedup(
+        [(w, enc) for w in windows], buckets=BUCKETS
+    )
+
+    h1 = t1.fit_device(ds, epochs=2, verbose=False, seed=3)
+    h2 = t2.fit_device(ds, epochs=2, verbose=False, seed=3)
+
+    for m1, m2 in zip(h1, h2):
+        assert m1["train/loss"] == pytest.approx(m2["train/loss"], rel=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -580,6 +580,123 @@ def test_fit_device_matches_host_steps():
         )
 
 
+def test_fit_device_dedup_matches_dense():
+    """DedupEncodings device-resident training (ONE global per-detection
+    embedding table, gathered on device inside the scanned epoch) must
+    produce the same losses, metrics and parameters as the dense
+    per-window-buffer form — the double gather returns exactly the rows
+    the dense materializer pre-gathered on host — while storing the
+    encodings in strictly fewer bytes (windows overlap, so the dense form
+    duplicates each detection's embedding ~L times plus node padding)."""
+    import jax
+
+    from batch3dmot_tpu.train.encoded import (
+        DedupEncodings,
+        materialize_encoded_dataset,
+        materialize_encoded_dataset_dedup,
+        precompute_scene_encodings,
+    )
+
+    gc = GraphConstructionConfig(top_knn_nodes=4)
+    scenes = [
+        make_synthetic_scene(
+            seed=s, num_frames=6, num_tracks=5, with_modalities=True,
+            modality_dropout=0.3,
+        )
+        for s in (3, 4)
+    ]
+    windows_by_scene = [
+        [w for w in build_scene_graphs(s, 3, gc) if w.num_edges > 0]
+        for s in scenes
+    ]
+    example = to_padded(windows_by_scene[0][0], *BUCKETS[0])
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    model = MultimodalGNN(depth=2)
+    tr_dense = GNNTrainer(model, example, cfg, seed=0)
+    tr_dedup = GNNTrainer(
+        model, example, cfg, seed=0,
+        init_variables=jax.tree.map(jnp.array, tr_dense.variables),
+    )
+
+    items = []
+    for s, ws in zip(scenes, windows_by_scene):
+        enc = precompute_scene_encodings(model, tr_dense.variables, s, chunk=64)
+        items.extend((w, enc) for w in ws)
+
+    dense = materialize_encoded_dataset(items, buckets=BUCKETS)
+    dedup = materialize_encoded_dataset_dedup(items, buckets=BUCKETS)
+    assert isinstance(dedup[1], DedupEncodings)
+    assert dedup[2] == dense[2]
+    dense_bytes = sum(a.nbytes for a in dense[1])
+    dedup_bytes = dedup[1].det_index.nbytes + sum(
+        a.nbytes for a in dedup[1].table
+    )
+    assert dedup_bytes < dense_bytes
+
+    h1 = tr_dense.fit_device(dense, epochs=2, verbose=False, seed=7)
+    h2 = tr_dedup.fit_device(dedup, epochs=2, verbose=False, seed=7)
+    for m1, m2 in zip(h1, h2):
+        assert m1["train/loss"] == pytest.approx(m2["train/loss"], rel=1e-6)
+        assert m1["train/avgprec"] == pytest.approx(
+            m2["train/avgprec"], rel=1e-6
+        )
+    for (kp, a), (_, b) in zip(
+        jax.tree.leaves_with_path(tr_dense.state.params),
+        jax.tree.leaves_with_path(tr_dedup.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
+def test_materialize_dedup_groups_share_one_table():
+    """The plural dedup materializer must hand every per-bucket group the
+    SAME table object (so the trainer uploads it once), and fit_device
+    must train on the multi-group dedup form."""
+    from batch3dmot_tpu.train.encoded import (
+        materialize_encoded_datasets_dedup,
+        precompute_scene_encodings,
+    )
+
+    model = MultimodalGNN(depth=2)
+    small_scene = make_synthetic_scene(
+        seed=0, num_frames=6, num_tracks=4, with_modalities=True
+    )
+    dense_scene = make_synthetic_scene(
+        seed=1, num_frames=5, num_tracks=40, fp_per_frame=5.0,
+        with_modalities=True,
+    )
+    gc_small = GraphConstructionConfig(top_knn_nodes=4)
+    gc_dense = GraphConstructionConfig(top_knn_nodes=10)
+    small = [
+        w for w in build_scene_graphs(small_scene, 3, gc_small)
+        if w.num_edges > 0
+    ]
+    dense = [
+        w for w in build_scene_graphs(dense_scene, 3, gc_dense)
+        if w.num_edges > 0
+    ]
+    buckets = ((32, 128), (64, 512), (256, 2048))
+
+    example = to_padded(small[0], 64, 512)
+    cfg = GNNConfig(lr=1e-3, weight_decay=0.0, batch_size=2)
+    tr = GNNTrainer(model, example, cfg, seed=0)
+
+    items = []
+    for scene, ws in ((small_scene, small), (dense_scene, dense)):
+        enc = precompute_scene_encodings(model, tr.variables, scene, chunk=64)
+        items.extend((w, enc) for w in ws)
+    ds = materialize_encoded_datasets_dedup(items, buckets=buckets)
+    assert len(ds) > 1
+    tables = {id(g[1].table) for g in ds}
+    assert len(tables) == 1
+    assert sum(g[0].pose.shape[0] - 1 for g in ds) == len(items)
+
+    hist = tr.fit_device(ds, epochs=1, verbose=False, seed=5)
+    assert np.isfinite(hist[0]["train/loss"])
+
+
 def test_single_bucket_for_outlier_fallback():
     """Device-resident datasets need ONE bucket: when uniform_bucket's
     outlier guard returns the multi-bucket fallback (a crowded trainval
