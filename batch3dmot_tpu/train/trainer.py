@@ -35,7 +35,7 @@ from flax import struct
 from batch3dmot_tpu.config import GNNConfig, TRACKING_CLASSES
 from batch3dmot_tpu.graph import PaddedGraph
 from batch3dmot_tpu.train.data import GraphBatcher
-from batch3dmot_tpu.train.metrics import masked_bce
+from batch3dmot_tpu.train.metrics import average_precision, masked_bce
 from batch3dmot_tpu.utils.checkpoint import epoch_checkpoint_name, save_checkpoint
 
 
@@ -427,31 +427,73 @@ class GNNTrainer:
             )
         return batch, self._constrain_data(jax.tree.map(lambda a: a[ib], enc))
 
+    def _device_batch_metrics(self, scores, batch):
+        """``_batch_metrics`` computed IN-GRAPH: overall + per-class
+        tie-corrected AP (``train.metrics.average_precision``, the
+        sklearn/torchmetrics semantics pinned by the differential test)
+        over the batch's masked edges. Returns
+        ``(ap_overall, ap_class [C], present_class [C] bool)`` so a
+        scanned epoch fetches a few scalars per step instead of the
+        ``[n_steps, B, E]`` score tensor (MBs/epoch through the relay)
+        plus a host-side sort over every epoch score. Sigmoid is skipped
+        deliberately: it is strictly monotone, so ranking — and therefore
+        AP, including tie groups — is unchanged from the host path."""
+        if isinstance(batch, tuple):
+            batch = batch[0]
+        s = scores.reshape(-1)
+        y = batch.edge_label.reshape(-1).astype(s.dtype)
+        mask = batch.edge_mask.reshape(-1)
+        # per-edge class = class of the source node (as _batch_metrics)
+        edge_class = jnp.take_along_axis(
+            batch.node_class, batch.edge_src, axis=-1
+        ).reshape(-1)
+        cids = jnp.asarray(list(TRACKING_CLASSES.values()))
+        sel = mask[None, :] & (edge_class[None, :] == cids[:, None])  # [C,n]
+        ap_all = average_precision(s, y, mask)
+        ap_cls = jax.vmap(lambda m: average_precision(s, y, m))(sel)
+        return ap_all, ap_cls, sel.any(axis=1)
+
+    def _accumulate_device_metrics(self, metrics, prefix, outs, n_steps):
+        """Fold one scanned-epoch group's fetched per-step metrics into the
+        host dict with exactly ``_batch_metrics``'s structure (a class key
+        exists only for steps where the class has masked edges)."""
+        losses, ap_all, ap_cls, present = (np.asarray(o) for o in outs)
+        cnames = list(TRACKING_CLASSES)
+        for k in range(n_steps):
+            metrics[f"{prefix}/loss"].append(float(losses[k]))
+            metrics[f"{prefix}/avgprec"].append(float(ap_all[k]))
+            for i, cname in enumerate(cnames):
+                if present[k, i]:
+                    metrics[f"{prefix}/avgprec/{cname}"].append(
+                        float(ap_cls[k, i])
+                    )
+
     def _epoch_device(self, state, graphs, enc, idx):
         """One epoch as ONE program: scan over [n_steps, B] index rows,
         gathering each batch from the device-resident dataset in-graph.
-        ``enc`` is None for pose-model (modality-free) datasets."""
+        Diagnostic metrics (loss + tie-corrected APs) are computed in-graph
+        too, so the per-epoch fetch is a few floats per step. ``enc`` is
+        None for pose-model (modality-free) datasets."""
 
         def body(st, ib):
-            st, loss, scores = self._step(
-                st, self._gather_device_batch(graphs, enc, ib)
-            )
-            return st, (loss, scores)
+            batch = self._gather_device_batch(graphs, enc, ib)
+            st, loss, scores = self._step(st, batch)
+            return st, (loss, *self._device_batch_metrics(scores, batch))
 
         return jax.lax.scan(body, state, idx)
 
     def _epoch_device_eval(self, state, graphs, enc, idx):
         """Validation counterpart of ``_epoch_device``: one scanned program
         over fixed (unshuffled) batch index rows, no state update — a whole
-        val pass costs one dispatch + one metrics fetch per group, instead
-        of an upload + dispatch + fetches per batch (the relay economics
-        that motivated device-resident training apply to validation too)."""
+        val pass costs one dispatch + one small metrics fetch per group,
+        instead of an upload + dispatch + fetches per batch (the relay
+        economics that motivated device-resident training apply to
+        validation too)."""
 
         def body(c, ib):
-            loss, scores = self._forward_metrics(
-                state, self._gather_device_batch(graphs, enc, ib)
-            )
-            return c, (loss, scores)
+            batch = self._gather_device_batch(graphs, enc, ib)
+            loss, scores = self._forward_metrics(state, batch)
+            return c, (loss, *self._device_batch_metrics(scores, batch))
 
         return jax.lax.scan(body, 0, idx)[1]
 
@@ -546,7 +588,11 @@ class GNNTrainer:
         wall-clock floor (~3 MB/step over ~40 MB/s, CLAUDE.md relay
         economics); this removes it. Exact same math as ``fit`` with an
         EncodedGraphBatcher: per-epoch window reshuffling, remainder
-        batches padded with the fully-masked empty slot (index W). On a
+        batches padded with the fully-masked empty slot (index W).
+        Diagnostic metrics are computed IN-GRAPH
+        (``_device_batch_metrics``) so an epoch's fetch is a few floats
+        per step rather than every score — identical to the host metrics
+        up to f32-vs-f64 rounding in the AP accumulation. On a
         mesh the dataset shards along the window axis (one chip's HBM no
         longer bounds it) and each step runs data-parallel.
 
@@ -606,33 +652,21 @@ class GNNTrainer:
                 idx = np.concatenate(
                     [order, np.full(pad, n_items, np.int64)]
                 ).reshape(n_steps, B).astype(np.int32)
-                self.state, (losses, scores) = run(
+                self.state, outs = run(
                     self.state, graphs, enc, jnp.asarray(idx)
                 )
-                # ONE fetch per group per epoch; per-step metrics come from
-                # the numpy dataset mirror gathered by idx (same numbers
-                # as fit())
-                losses = np.asarray(losses)
-                scores = np.asarray(scores)  # [n_steps, B, E]
-                for k in range(n_steps):
-                    batch_np = jax.tree.map(lambda a: a[idx[k]], graphs_np)
-                    self._batch_metrics(
-                        metrics, "train", losses[k], scores[k], batch_np
-                    )
+                # ONE small fetch per group per epoch: metrics were
+                # computed in-graph (loss + APs per step) — no score
+                # tensor crosses the relay and no host-side sort runs
+                self._accumulate_device_metrics(
+                    metrics, "train", outs, n_steps
+                )
             if val_uploaded is not None:
                 for graphs, enc, graphs_np, idx, idx_dev in val_uploaded:
-                    losses, scores = eval_run(
-                        self.state, graphs, enc, idx_dev
+                    outs = eval_run(self.state, graphs, enc, idx_dev)
+                    self._accumulate_device_metrics(
+                        metrics, "val", outs, idx.shape[0]
                     )
-                    losses = np.asarray(losses)
-                    scores = np.asarray(scores)
-                    for k in range(idx.shape[0]):
-                        batch_np = jax.tree.map(
-                            lambda a: a[idx[k]], graphs_np
-                        )
-                        self._batch_metrics(
-                            metrics, "val", losses[k], scores[k], batch_np
-                        )
             self._finish_epoch(
                 epoch, _nanmean_metrics(metrics), t0, history,
                 val_batcher=val_batcher, log_dir=log_dir, version=version,

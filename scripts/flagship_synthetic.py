@@ -136,9 +136,13 @@ def main():
         )
         steps = len(batcher) * args.epochs
     else:
-        from batch3dmot_tpu.train.encoded import materialize_encoded_dataset
+        # dedup form (one global embedding table, device-side gather):
+        # same numbers as the dense per-window buffers at ~1/L the HBM
+        from batch3dmot_tpu.train.encoded import (
+            materialize_encoded_dataset_dedup,
+        )
 
-        ds = materialize_encoded_dataset(train_items, buckets=buckets)
+        ds = materialize_encoded_dataset_dedup(train_items, buckets=buckets)
         history = trainer.fit_device(ds, epochs=args.epochs, verbose=True)
         n_items = ds[0].pose.shape[0] - 1
         steps = (-(-n_items // args.batch_size)) * args.epochs

@@ -18,8 +18,9 @@ reporting per stage:
 Stages: build train stores (~550 scenes, L=5) -> build val stores
 (~150 scenes, L=2, disjoint seeds) -> `train-gnn --model mm --encoded`
 streaming (1 epoch) -> `train-gnn --encoded --device-dataset` (2 epochs,
-val-sized subset) -> grouped `predict --pipeline encoded` over the val
-split -> native AMOTA vs the synthetic GT.
+FULL train set device-resident via the dedup encoding form) -> grouped
+`predict --pipeline encoded` over the val split -> native AMOTA vs the
+synthetic GT.
 
 Run (real chip; ~1-2 h at healthy relay):
     python scripts/soak_trainval_scale.py [--scenes 550] [--val 150]
@@ -121,12 +122,20 @@ def run(n_train, n_val, frames, tracks, epochs, keep):
             ])
 
         with Stage(f"train-gnn --encoded --device-dataset ({epochs} epochs)"):
-            # val-sized subset: the full trainval encoding set needs a
-            # multi-chip mesh's combined HBM (SCALING.md); one chip here
+            # FULL train set device-resident on ONE chip: the dedup
+            # encoding form (train/encoded.DedupEncodings — one global
+            # per-detection table instead of ~L per-window copies) cuts
+            # the 550-scene L=5 encoding set from ~12 GiB to ~2.4 GiB.
+            # Graphs+table+index land around 5-6 GiB, inside a v5e's
+            # 16 GiB HBM next to the working set; raise the advisory
+            # guard accordingly. Encoding caches from the streaming
+            # stage above are reused, so this stage pays upload + train
+            # only, not re-encoding.
+            os.environ.setdefault("B3D_DEVICE_DATASET_GB", "12")
             cli([
                 "train-gnn", "--model", "mm", "--encoded",
                 "--device-dataset", "--epochs", str(epochs), *common,
-                "--set", f"paths.graphs_dir={val_dir}",
+                "--set", f"paths.graphs_dir={train_dir}",
                 "--set", "gnn.batch_size=8",
             ])
 

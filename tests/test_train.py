@@ -805,3 +805,65 @@ def test_fit_device_val_dataset_matches_eval_epoch():
     assert hist[-1]["val/avgprec"] == pytest.approx(
         m["val/avgprec"], rel=1e-3
     )
+
+
+def test_device_batch_metrics_match_host():
+    """The scanned device epochs compute diagnostics IN-GRAPH
+    (``_device_batch_metrics``: overall + per-class tie-corrected AP,
+    sigmoid deliberately skipped as rank-preserving). Pin them per-batch
+    against the host ``_batch_metrics`` numbers for identical scores —
+    same AP values, same set of per-class entries, and NaN for a class
+    that has masked edges but no positive labels."""
+    from collections import defaultdict
+
+    import jax
+
+    from batch3dmot_tpu.config import TRACKING_CLASSES
+
+    windows = _windows()
+    batcher = GraphBatcher(windows, batch_size=3, buckets=BUCKETS)
+    example = to_padded(windows[0], *BUCKETS[0])
+    tr = GNNTrainer(PoseGNN(depth=2), example, GNNConfig(batch_size=3))
+    assert tr.from_logits  # host path sigmoids; device path must not need to
+    batch = next(iter(batcher.epoch(shuffle=False)))
+
+    # force one class with edges but zero positives -> NaN AP on both paths
+    edge_class = np.take_along_axis(
+        np.asarray(batch.node_class), np.asarray(batch.edge_src), axis=-1
+    )
+    masked_counts = {
+        c: int((np.asarray(batch.edge_mask) & (edge_class == i)).sum())
+        for c, i in TRACKING_CLASSES.items()
+    }
+    nan_cls = max(masked_counts, key=masked_counts.get)
+    labels = np.asarray(batch.edge_label).copy()
+    labels[edge_class == TRACKING_CLASSES[nan_cls]] = 0.0
+    import dataclasses
+
+    batch = dataclasses.replace(batch, edge_label=jnp.asarray(labels))
+
+    rng = np.random.default_rng(0)
+    # quantized logits -> heavy tie groups (the semantics AP must honor)
+    logits = np.round(
+        rng.normal(size=np.asarray(batch.edge_mask).shape) * 2, 1
+    ).astype(np.float32)
+
+    host = defaultdict(list)
+    tr._batch_metrics(host, "m", 0.0, logits, batch)
+    ap_all, ap_cls, present = jax.jit(tr._device_batch_metrics)(
+        jnp.asarray(logits), batch
+    )
+    ap_all, ap_cls, present = map(np.asarray, (ap_all, ap_cls, present))
+
+    assert float(ap_all) == pytest.approx(host["m/avgprec"][0], rel=1e-4)
+    for i, cname in enumerate(TRACKING_CLASSES):
+        key = f"m/avgprec/{cname}"
+        assert bool(present[i]) == (key in host), cname
+        if not present[i]:
+            continue
+        h = host[key][0]
+        if np.isnan(h):
+            assert np.isnan(ap_cls[i]), cname
+        else:
+            assert float(ap_cls[i]) == pytest.approx(h, rel=1e-4), cname
+    assert np.isnan(host[f"m/avgprec/{nan_cls}"][0])
