@@ -77,6 +77,53 @@ def average_precision(
     return ap
 
 
+def average_precision_multi(
+    scores: jax.Array,
+    labels: jax.Array,
+    sels: jax.Array,
+) -> jax.Array:
+    """Binary AP for SEVERAL selection rows off ONE shared sort.
+
+    ``sels`` is ``[C, n]`` bool; row ``c``'s AP equals
+    ``average_precision(scores, labels, sels[c])`` (pinned by
+    ``tests/test_train.py``) but the argsort + tie-group pass runs once
+    instead of per row — the scanned device epochs compute overall + 7
+    per-class APs per step, and 8 argsorts of the same [B*E] vector cost
+    more than the fused training step itself (11.7 ms vs 10.4 ms at
+    (256, 4096) x 8 on hardware, ``scripts/bench_device_metrics.py``).
+
+    Why sharing the sort is exact: tie groups are defined by SCORE values,
+    and a row's cumulative tp/seen at a tie-group end count only that
+    row's selected entries with score >= the group's value — entries
+    outside the row contribute 0 to its cumsums, which is the same number
+    a dedicated sort (with excluded entries at -inf) produces. Entries
+    selected by NO row sort last as one -inf group and contribute nothing.
+    Rows with no positives return NaN (callers nanmean, as the reference).
+    """
+    neg_inf = jnp.finfo(scores.dtype).min
+    any_sel = sels.any(axis=0)
+    s = jnp.where(any_sel, scores, neg_inf)
+    order = jnp.argsort(-s)
+    s_sorted = s[order]
+    n = s_sorted.shape[0]
+    is_last = jnp.concatenate(
+        [s_sorted[1:] != s_sorted[:-1], jnp.ones((1,), bool)]
+    )
+    end = jnp.where(is_last, jnp.arange(n), n)
+    end = jax.lax.cummin(end[::-1])[::-1]
+    y_sorted = labels[order]
+
+    def one(sel):
+        sel_s = sel[order].astype(scores.dtype)
+        yc = y_sorted * sel_s
+        tp = jnp.cumsum(yc)
+        seen = jnp.cumsum(sel_s)
+        precision = tp[end] / jnp.maximum(seen[end], 1.0)
+        return jnp.sum(precision * yc) / jnp.sum(yc)  # NaN if no positives
+
+    return jax.vmap(one)(sels)
+
+
 def masked_accuracy(
     scores: jax.Array,
     labels: jax.Array,

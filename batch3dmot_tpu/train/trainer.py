@@ -35,7 +35,10 @@ from flax import struct
 from batch3dmot_tpu.config import GNNConfig, TRACKING_CLASSES
 from batch3dmot_tpu.graph import PaddedGraph
 from batch3dmot_tpu.train.data import GraphBatcher
-from batch3dmot_tpu.train.metrics import average_precision, masked_bce
+from batch3dmot_tpu.train.metrics import (
+    average_precision_multi,
+    masked_bce,
+)
 from batch3dmot_tpu.utils.checkpoint import epoch_checkpoint_name, save_checkpoint
 
 
@@ -449,9 +452,12 @@ class GNNTrainer:
         ).reshape(-1)
         cids = jnp.asarray(list(TRACKING_CLASSES.values()))
         sel = mask[None, :] & (edge_class[None, :] == cids[:, None])  # [C,n]
-        ap_all = average_precision(s, y, mask)
-        ap_cls = jax.vmap(lambda m: average_precision(s, y, m))(sel)
-        return ap_all, ap_cls, sel.any(axis=1)
+        # ONE shared sort for overall + per-class APs (8 dedicated sorts
+        # cost more than the fused train step, bench_device_metrics.py)
+        aps = average_precision_multi(
+            s, y, jnp.concatenate([mask[None, :], sel], axis=0)
+        )
+        return aps[0], aps[1:], sel.any(axis=1)
 
     def _accumulate_device_metrics(self, metrics, prefix, outs, n_steps):
         """Fold one scanned-epoch group's fetched per-step metrics into the

@@ -867,3 +867,35 @@ def test_device_batch_metrics_match_host():
         else:
             assert float(ap_cls[i]) == pytest.approx(h, rel=1e-4), cname
     assert np.isnan(host[f"m/avgprec/{nan_cls}"][0])
+
+
+def test_average_precision_multi_matches_per_row(rng):
+    """average_precision_multi (one shared sort) must equal the per-row
+    average_precision for every selection row — random scores with heavy
+    tie groups, overlapping selections, an empty row, and a positive-free
+    row (NaN)."""
+    from batch3dmot_tpu.train.metrics import average_precision_multi
+
+    for trial in range(5):
+        n = 257
+        scores = np.round(rng.random(n).astype(np.float32), 1)  # ties
+        labels = (rng.random(n) < 0.4).astype(np.float32)
+        sels = rng.random((6, n)) < rng.random((6, 1))
+        sels[3] = False  # empty selection
+        sels[4] = labels == 0.0  # edges but no positives -> NaN
+        got = np.asarray(
+            average_precision_multi(
+                jnp.asarray(scores), jnp.asarray(labels), jnp.asarray(sels)
+            )
+        )
+        for c in range(6):
+            want = float(
+                average_precision(
+                    jnp.asarray(scores), jnp.asarray(labels),
+                    jnp.asarray(sels[c]),
+                )
+            )
+            if np.isnan(want):
+                assert np.isnan(got[c]), (trial, c)
+            else:
+                assert got[c] == pytest.approx(want, rel=1e-5), (trial, c)
