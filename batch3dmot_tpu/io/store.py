@@ -111,24 +111,43 @@ def save_scene_graphs(
             offset += arr.nbytes
             offset = (offset + _ALIGN - 1) // _ALIGN * _ALIGN
 
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<iii", VERSION, len(windows), len(SCHEMA)))
-        f.write(struct.pack("<i", window_len))
-        f.write(struct.pack(f"<{len(windows)}i", *[w.window_start for w in windows]))
-        for h in headers:
-            f.write(h)
-        pos = f.tell()
-        for arr in blobs:
-            pad = (-pos) % _ALIGN
-            f.write(b"\0" * pad)
-            pos += pad
-            f.write(arr.tobytes())
-            pos += arr.nbytes
-
+    # Atomic commit: stage writes under tmp names and os.replace() them,
+    # sidecar FIRST and the .b3d LAST — `build-graphs --skip-existing`
+    # resumes by checking the .b3d path, so its appearance must mean "scene
+    # complete, sidecar included" even across a mid-write kill (the
+    # restartability contract of SURVEY.md §5; the predict results cache in
+    # cli.py uses the same rename pattern).
     if metadata is not None:
-        with open(path.replace(".b3d", "_metadata.json"), "w") as f:
+        meta_path = path.replace(".b3d", "_metadata.json")
+        meta_tmp = f"{meta_path}.tmp.{os.getpid()}"
+        with open(meta_tmp, "w") as f:
             json.dump(metadata, f)
+        os.replace(meta_tmp, meta_path)
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<iii", VERSION, len(windows), len(SCHEMA)))
+            f.write(struct.pack("<i", window_len))
+            f.write(
+                struct.pack(
+                    f"<{len(windows)}i", *[w.window_start for w in windows]
+                )
+            )
+            for h in headers:
+                f.write(h)
+            pos = f.tell()
+            for arr in blobs:
+                pad = (-pos) % _ALIGN
+                f.write(b"\0" * pad)
+                pos += pad
+                f.write(arr.tobytes())
+                pos += arr.nbytes
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return path
 
 

@@ -22,11 +22,17 @@ def save_checkpoint(path: str, variables: Any, metadata: Optional[Dict] = None) 
     msgpack file; metadata goes to a sidecar JSON."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     variables = jax.device_get(variables)
-    with open(path, "wb") as f:
+    # atomic via rename: a kill mid-save must never leave a truncated
+    # msgpack at the final path a later resume would trust
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    os.replace(tmp, path)
     if metadata is not None:
-        with open(path + ".meta.json", "w") as f:
+        meta_tmp = f"{path}.meta.json.tmp.{os.getpid()}"
+        with open(meta_tmp, "w") as f:
             json.dump(metadata, f)
+        os.replace(meta_tmp, path + ".meta.json")
     return path
 
 

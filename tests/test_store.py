@@ -205,3 +205,58 @@ def test_uint8_encode_matches_f32_div255():
     a = np.asarray(enc(variables, jnp.asarray(u8)))
     b = np.asarray(enc(variables, jnp.asarray(u8.astype(np.float32) / 255.0)))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_save_scene_graphs_atomic_on_crash(tmp_path, scene_windows, monkeypatch):
+    """A kill mid-write must leave NO final .b3d (and no .tmp litter), so
+    `build-graphs --skip-existing` re-runs the scene instead of trusting a
+    truncated store — the restartability contract (SURVEY.md §5). The
+    writer stages under a tmp name and os.replace()s it as the commit."""
+    import builtins
+
+    import batch3dmot_tpu.io.store as store_mod
+
+    real_open = builtins.open
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingFile:
+        def __init__(self, f):
+            self._f = f
+            self._writes = 0
+
+        def write(self, data):
+            self._writes += 1
+            if self._writes >= 4:  # inside the blob loop
+                raise Boom("simulated kill mid-write")
+            return self._f.write(data)
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return self._f.__exit__(*a)
+
+    def exploding_open(path, mode="r", *a, **k):
+        f = real_open(path, mode, *a, **k)
+        if "b" in mode and "w" in mode and ".b3d.tmp." in str(path):
+            return ExplodingFile(f)
+        return f
+
+    scene, windows = scene_windows
+    monkeypatch.setattr(store_mod, "open", exploding_open, raising=False)
+    with pytest.raises(Boom):
+        save_scene_graphs(windows, str(tmp_path), metadata=scene.metadata)
+    monkeypatch.undo()
+
+    final = tmp_path / f"{scene.scene_token}_len3.b3d"
+    assert not final.exists(), "truncated store committed to the final path"
+    assert not list(tmp_path.glob("*.tmp.*")), "tmp litter left behind"
+
+    # the retry (same process/dir, as --skip-existing does) must succeed
+    path = save_scene_graphs(windows, str(tmp_path), metadata=scene.metadata)
+    assert len(load_scene_graphs(path)) == len(windows)
