@@ -282,6 +282,49 @@ def _graft_encoder_checkpoints(args, trainer) -> None:
     )
 
 
+def _estimate_dedup_device_bytes(paths) -> int:
+    """Cheap estimate of the device-resident DEDUP dataset size (padded
+    window graphs at their buckets + det_index + one encoding-table row
+    per detection) from store headers and metadata sidecars alone — no
+    array data is read and nothing is encoded. Gates the automatic
+    ``--encoded`` device-resident upgrade; the exact post-materialization
+    guard in ``_fit_device_dataset`` still runs afterwards."""
+    import json as _json
+
+    from batch3dmot_tpu.graph import pick_bucket
+    from batch3dmot_tpu.io import GraphStoreReader
+
+    total = 0
+    dets = 0
+    total_nodes = 0
+    window_len = 2
+    for p in paths:
+        r = GraphStoreReader(p)
+        window_len = max(window_len, getattr(r, "window_len", 2))
+        nodes, edges = r.window_sizes()
+        for n, e in zip(nodes, edges):
+            if n <= 0 or e <= 0:
+                continue
+            mn, me = pick_bucket(n, e)
+            # modality-free PaddedGraph leaves: pose 76B/node +
+            # time/class i32 + mask ~85B/node; src/dst/attr/mask/label/
+            # weight ~33B/edge; det_index 4B/node
+            total += mn * 89 + me * 33
+            total_nodes += n
+        meta_path = p.replace(".b3d", "_metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                dets += len(_json.load(f))
+        else:
+            dets = -1  # force the fallback estimate below
+    if dets < 0:
+        # no sidecars: each detection appears in ~window_len windows
+        dets = total_nodes // max(window_len, 1) + 1
+    # table rows: x_img [D+1,96] + pointnet/radarnet [D+1,256] f32 + 2 bools
+    total += (dets + 1) * (96 * 4 + 256 * 4 + 256 * 4 + 2)
+    return total
+
+
 def cmd_train_gnn(args) -> None:
     cfg = _load_config(args)
     _enable_compile_cache()
@@ -414,14 +457,43 @@ def cmd_train_gnn(args) -> None:
                 )
             return scene
 
-        if getattr(args, "device_dataset", False):
+        device_flag = getattr(args, "device_dataset", False)
+        auto_upgrade = False
+        if not device_flag and not getattr(args, "stream", False):
+            # AUTO: device-resident epochs run ~40x faster than streaming
+            # through the TPU relay (26 s vs 1023 s warm epoch over 550
+            # trainval-shape scenes, docs/RESULTS.md round 4), so upgrade
+            # whenever the dedup dataset fits the advisory HBM budget —
+            # same auto-with-override pattern as the density-aware grouped
+            # predict dispatch. --stream pins the unbounded-memory path.
+            n_chips = mesh.size if mesh is not None else 1
+            budget = (
+                float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
+                * 2**30 * n_chips
+            )
+            est = _estimate_dedup_device_bytes(train_paths + val_paths)
+            if est <= 0.8 * budget:
+                print(
+                    f"train-gnn: auto device-resident dataset (est. "
+                    f"{est / 2**30:.2f} GiB fits the {budget / 2**30:.0f} "
+                    f"GiB budget; --stream to disable)"
+                )
+                device_flag = auto_upgrade = True
+            else:
+                print(
+                    f"train-gnn: streaming (est. device-resident size "
+                    f"{est / 2**30:.2f} GiB exceeds 0.8 x {budget / 2**30:.0f}"
+                    f" GiB; raise B3D_DEVICE_DATASET_GB or add --devices to "
+                    f"go device-resident)"
+                )
+        if device_flag:
             # DEVICE-RESIDENT dataset: every window uploads once and each
             # epoch runs as one scanned program gathering batches on
             # device — after the upload no training data crosses the host
             # link (the per-epoch batch re-upload is the wall-clock floor
             # through a remote-TPU relay, CLAUDE.md relay economics).
-            # Opt-in: the dataset must fit in (mesh-combined) HBM next to
-            # the working set (the streaming default has no such bound).
+            # The dataset must fit in (mesh-combined) HBM next to the
+            # working set (the streaming path has no such bound).
             # Deduplicated form (train/encoded.DedupEncodings): one global
             # per-detection embedding table gathered on device instead of
             # per-window pre-gathered buffers — ~L x less HBM at window
@@ -445,12 +517,22 @@ def cmd_train_gnn(args) -> None:
                     )
                 return items
 
-            val_items = encoded_items(val_paths)
-            return _fit_device_dataset(
-                materialize_encoded_datasets_dedup(encoded_items(train_paths)),
-                materialize_encoded_datasets_dedup(val_items)
-                if val_items else None,
-            )
+            try:
+                val_items = encoded_items(val_paths)
+                return _fit_device_dataset(
+                    materialize_encoded_datasets_dedup(
+                        encoded_items(train_paths)
+                    ),
+                    materialize_encoded_datasets_dedup(val_items)
+                    if val_items else None,
+                )
+            except SystemExit as e:
+                if not auto_upgrade:
+                    raise
+                # the exact post-materialization guard disagreed with the
+                # 0.8-margin estimate — stream instead (the per-scene
+                # encoding caches built above are reused, nothing re-runs)
+                print(f"train-gnn: {e} — falling back to streaming")
         # scene-streaming: memory bounded by one scene; encoding tables
         # persist next to the stores keyed by the encoder digest, so a
         # restarted run re-encodes nothing. uniform=True: one shape for
@@ -1599,7 +1681,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "dataset; with --devices N the dataset shards "
                         "along the window axis across the mesh; must fit "
                         "in (combined) HBM (B3D_DEVICE_DATASET_GB budget "
-                        "per chip, default 6)")
+                        "per chip, default 6). With --encoded this is "
+                        "AUTOMATIC whenever the estimated dedup dataset "
+                        "fits the budget")
+    p.add_argument("--stream", action="store_true",
+                   help="with --encoded: force scene-streaming training "
+                        "(memory bounded by one scene) instead of the "
+                        "automatic device-resident upgrade")
     for enc in ("resnet", "pointnet", "radarnet"):
         p.add_argument(f"--{enc}-checkpoint", type=str, default=None,
                        help=f"graft a pretrained {enc} encoder checkpoint "

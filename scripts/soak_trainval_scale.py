@@ -114,8 +114,11 @@ def run(n_train, n_val, frames, tracks, epochs, keep):
             print(f"val store dir: {du_gb(val_dir):.2f} GiB")
 
         with Stage("train-gnn --encoded streaming (1 epoch)"):
+            # --stream pins the scene-streaming path (this stage exists to
+            # soak it; without the flag the CLI auto-upgrades to the
+            # device-resident dataset whenever it fits HBM)
             cli([
-                "train-gnn", "--model", "mm", "--encoded",
+                "train-gnn", "--model", "mm", "--encoded", "--stream",
                 "--epochs", "1", *common,
                 "--set", f"paths.graphs_dir={train_dir}",
                 "--set", "gnn.batch_size=8",

@@ -394,3 +394,40 @@ def test_train_gnn_device_dataset_pose(mm_setup, tmp_path):
     assert glob.glob(
         os.path.join(str(tmp_path), "models_pose_dd", "gnn", "*pose*.msgpack")
     )
+
+
+def test_train_gnn_encoded_auto_device_dataset(mm_setup, capsys, monkeypatch):
+    """`--encoded` with neither `--device-dataset` nor `--stream`
+    auto-upgrades to the device-resident dataset when the estimated dedup
+    size fits the HBM budget (device epochs run ~40x faster through the
+    relay); `--stream` pins scene-streaming; an impossible budget makes
+    the estimator choose streaming."""
+    tmp, _, common = mm_setup
+
+    h = main([
+        "train-gnn", "--model", "mm", "--encoded", "--epochs", "1",
+        *common, "--set", f"paths.models={tmp}/models_auto",
+    ])
+    out = capsys.readouterr().out
+    assert "auto device-resident dataset" in out
+    assert "device-resident dataset (" in out
+    assert h and np.isfinite(h[0]["train/loss"])
+
+    h = main([
+        "train-gnn", "--model", "mm", "--encoded", "--stream",
+        "--epochs", "1",
+        *common, "--set", f"paths.models={tmp}/models_stream",
+    ])
+    out = capsys.readouterr().out
+    assert "auto device-resident" not in out
+    assert "train batches/epoch" in out
+    assert h and np.isfinite(h[0]["train/loss"])
+
+    monkeypatch.setenv("B3D_DEVICE_DATASET_GB", "0.000001")
+    h = main([
+        "train-gnn", "--model", "mm", "--encoded", "--epochs", "1",
+        *common, "--set", f"paths.models={tmp}/models_tiny",
+    ])
+    out = capsys.readouterr().out
+    assert "exceeds" in out and "train batches/epoch" in out
+    assert h and np.isfinite(h[0]["train/loss"])
