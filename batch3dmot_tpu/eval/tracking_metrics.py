@@ -16,11 +16,30 @@ devkit / dataset can still compute end metrics:
     <= 2 m with match persistence (CLEAR-MOT style: keep last frame's pairs
     when still valid, Hungarian on the remainder);
   * MOTAR(r) = max(0, 1 - (IDS + FP + FN - (1-r) P) / (r P));
-    AMOTA = mean over achieved recalls, AMOTP = mean matched distance
-    averaged over thresholds.
+    AMOTA / AMOTP average the per-bin values over ALL ``n_recalls`` bins
+    with unachieved bins filled by the protocol's worst value (see table).
+
+Field-by-field devkit derivation (VERDICT r4 next #4 — the round-4
+threshold bug proved "assumed" semantics silently diverge; every reported
+field now carries its derivation, and the one formula that could not be
+re-derived from the published protocol is flagged):
+
+| field | devkit formula (nuscenes/eval/tracking) | here |
+|---|---|---|
+| thresholds | ``compute_thresholds``: scores of MATCHED preds from an unthresholded pass, sorted desc; ``np.interp(linspace(min_recall,1,n), cumsum(1)/P, scores)``; targets past max achieved recall -> NaN (skipped bins) | exact (round-4 fix; golden ``test_single_high_scoring_fp_golden``) |
+| n_recalls / min_recall | ``TrackingMetricData.nelem = 40``; nips-2019 config ``min_recall = 0.1`` | defaults 40 / 0.1 |
+| motar (per bin) | ``metrics.motar``: max(0, 1 - (IDS+FP+FN-(1-rec)P)/(rec P)) with rec = TP/P the ACHIEVED recall; rec = 0 -> NaN | exact; FN = (1-rec)P cancels to 1 - (IDS+FP)/(rec P); tp==0 bins skipped = NaN->worst(0) |
+| amota | ``evaluate.py`` AVG_METRIC_MAP: NaN (unachieved/duplicate-source) bins filled with ``metric_worst['amota'] = 0``, then mean over all 40; ALL-NaN (class with GT but zero matches) -> NaN, excluded from the class mean | sum(motar)/n_recalls; no-match class -> NaN (``test_amota_no_match_class_is_nan``) |
+| amotp | same fill with ``metric_worst['amotp'] = 2.0`` (the 2 m match gate), mean over all 40; all-NaN -> NaN | (sum motp + 2.0 x unachieved)/n_recalls (``test_amotp_worst_fills_unachieved_bins``) |
+| motp (per bin) | motmetrics: mean BEV center distance over matches at that threshold | dist_sum / n_match |
+| mota / ids / tp / fp / fn / recall | reported at the best-MOTA threshold: ``evaluate.py`` picks ``nanargmax(md.mota)`` over bins; mota = ``mota_custom`` = max(0, 1-(FN+IDS+FP)/P) | best-MOTA bin; ties broken toward the HIGHEST recall (devkit comment's intent; the exact devkit tiebreak could not be re-derived in this environment — flagged, not assumed silent) |
+| match persistence | motmetrics ``MOTAccumulator`` per scene: previous (gt, track) pair kept while both present and within the gate; Hungarian (min distance) on the rest; IDS when a gt's matched track differs from its last match | identical; ``last_match`` keys are scene-scoped GT instance tokens, so persistence/IDS never cross scene boundaries (devkit: one accumulator per scene) |
+| class aggregation | nanmean over classes (classes with no GT or all-NaN bins excluded) | nanmean over per-class amota/amotp |
 
 For official leaderboard numbers use the devkit wrapper; this native scorer
 tracks it closely and is exact in its own right for synthetic CI scenes.
+The first environment with the devkit installed must record a
+devkit-vs-native fixture (docs/PARITY.md standing debt).
 """
 
 from __future__ import annotations
@@ -35,6 +54,11 @@ from scipy.optimize import linear_sum_assignment
 from batch3dmot_tpu.config import TRACKING_CLASSES
 
 DIST_TH = 2.0  # nuScenes tracking matching threshold (meters, BEV center)
+# the devkit fills unachieved recall bins with a WORST value before
+# averaging: metric_worst['amota'] = 0, metric_worst['amotp'] = 2.0 (the
+# match gate) in the tracking config (nuscenes/eval/tracking/ config +
+# evaluate.py AVG_METRIC_MAP handling)
+MOTP_WORST = 2.0
 
 
 @dataclasses.dataclass
@@ -187,8 +211,15 @@ def evaluate_tracking(
         )
         scores = np.sort(np.asarray(match_scores, float))[::-1]
         if scores.size == 0:
-            per_class[cls] = dict(amota=0.0, amotp=float("nan"), mota=0.0,
-                                  ids=0, tp=0, fp=0, fn=num_gt, recall=0.0)
+            # GT exists but NO prediction ever matched: every bin is NaN, so
+            # the devkit reports amota/amotp as NaN for the class and the
+            # class-level nanmean EXCLUDES it (evaluate.py: `if np.all(
+            # np.isnan(values)): value = np.nan`). Reporting amota = 0 here
+            # instead (the pre-round-5 behavior) deflates the headline vs
+            # the protocol.
+            per_class[cls] = dict(amota=float("nan"), amotp=float("nan"),
+                                  mota=0.0, ids=0, tp=0, fp=0, fn=num_gt,
+                                  recall=0.0)
             continue
 
         # Thresholds are interpolated at the target recalls over the
@@ -201,8 +232,7 @@ def evaluate_tracking(
         recalls = np.linspace(min_recall, 1.0, n_recalls)
         thresholds = np.interp(recalls, match_rec, scores)
         max_recall = float(match_rec[-1])
-        motars, motps, achieved = [], [], []
-        best = None
+        motars, motps, bins = [], [], []
         cache: Dict[float, tuple] = {}
         for r, thresh in zip(recalls, thresholds):
             if r > max_recall + 1e-12:
@@ -215,6 +245,11 @@ def evaluate_tracking(
             tp, fp_, fn_, ids, dsum, nm, _ = cache[thresh]
             rec = tp / num_gt
             if tp == 0:
+                # devkit motar: rec == 0 -> NaN -> worst-filled (0 for
+                # amota, 2.0 for amotp) — the skip makes the bin count as
+                # unachieved below, which is the same fill. (Only reachable
+                # if thresholding removes every match the staircase
+                # promised — persistence/Hungarian make that ~impossible.)
                 continue
             # MOTAR with the achieved recall: since FN == (1 - rec) * P per
             # construction, 1 - (IDS+FP+FN-(1-rec)P)/(rec P) reduces to
@@ -222,21 +257,37 @@ def evaluate_tracking(
             motar = max(0.0, 1.0 - (ids + fp_) / (rec * num_gt))
             motars.append(motar)
             motps.append(dsum / max(nm, 1))
-            achieved.append(r)
-            best = dict(
+            bins.append(dict(
                 mota=max(0.0, 1.0 - (ids + fp_ + fn_) / num_gt),
                 ids=ids, tp=tp, fp=fp_, fn=fn_, recall=rec,
-            )
+            ))
 
-        amota = float(np.sum(motars) / n_recalls) if motars else 0.0
-        amotp = float(np.mean(motps)) if motps else float("nan")
+        # Unachieved (NaN) bins enter the averages at the protocol's worst
+        # value: 0 for MOTAR (so sum/n_recalls), 2.0 m for MOTP. All-NaN
+        # (no achieved bin at all) -> NaN, excluded from the class mean.
+        amota = float(np.sum(motars) / n_recalls) if motars else float("nan")
+        amotp = (
+            float((np.sum(motps) + (n_recalls - len(motps)) * MOTP_WORST)
+                  / n_recalls)
+            if motps else float("nan")
+        )
         entry = dict(amota=amota, amotp=amotp)
-        entry.update(best or dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0))
+        if bins:
+            # traditional metrics report at the best-MOTA bin; ties break
+            # toward the highest recall (see module docstring table)
+            motas = np.array([b["mota"] for b in bins])
+            best = bins[len(bins) - 1 - int(np.argmax(motas[::-1]))]
+        else:
+            best = dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0)
+        entry.update(best)
         per_class[cls] = entry
 
-    amota = float(np.mean([m["amota"] for m in per_class.values()])) if per_class else 0.0
-    valid_motp = [m["amotp"] for m in per_class.values() if np.isfinite(m["amotp"])]
-    amotp = float(np.mean(valid_motp)) if valid_motp else float("nan")
+    def _nanmean(vals: List[float]) -> float:
+        finite = [v for v in vals if np.isfinite(v)]
+        return float(np.mean(finite)) if finite else float("nan")
+
+    amota = _nanmean([m["amota"] for m in per_class.values()])
+    amotp = _nanmean([m["amotp"] for m in per_class.values()])
     return TrackingEvalResult(per_class=per_class, amota=amota, amotp=amotp)
 
 

@@ -261,7 +261,10 @@ class GNNTrainer:
             batch = batch[0]
         scores = np.asarray(scores).reshape(-1)
         if self.from_logits:
-            scores = 1.0 / (1.0 + np.exp(-scores))
+            # clamp before exp: large-magnitude logits overflow f32 exp to
+            # inf (harmless limit but a RuntimeWarning per batch); |x|=30
+            # already saturates the f32 sigmoid
+            scores = 1.0 / (1.0 + np.exp(-np.clip(scores, -30.0, 30.0)))
         labels = np.asarray(batch.edge_label).reshape(-1)
         mask = np.asarray(batch.edge_mask).reshape(-1)
         # per-edge class = class of the source node

@@ -140,3 +140,74 @@ def test_half_recall_golden():
     res = evaluate_tracking(gt, preds, FRAMES)
     np.testing.assert_allclose(res.per_class["car"]["amota"], 18 / 40)
     assert res.per_class["car"]["recall"] == 0.5
+
+
+def test_amotp_worst_fills_unachieved_bins():
+    """Devkit AMOTP averages over ALL 40 bins, filling unachieved ones with
+    metric_worst['amotp'] = 2.0 (the match gate) — evaluate.py replaces NaN
+    bins with the worst value before nanmean.
+
+    Half-recall case (18 achieved bins, see test_half_recall_golden) with
+    exact-position matches (per-bin MOTP 0):
+    AMOTP = (18 * 0 + 22 * 2.0) / 40 = 1.1.
+    """
+    gt = _gt_track()
+    preds = _preds_on(gt[:5])
+    res = evaluate_tracking(gt, preds, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["amotp"], 22 * 2.0 / 40)
+
+
+def test_amota_no_match_class_is_nan():
+    """A class with GT but ZERO matched predictions has all-NaN bins; the
+    devkit then reports its amota/amotp as NaN (evaluate.py: all-NaN ->
+    value = NaN) and the class-level nanmean EXCLUDES it. Reporting 0
+    instead would deflate the aggregate below the official protocol."""
+    gt_car = _gt_track("car")
+    gt_ped = _gt_track("pedestrian")  # no predictions at all
+    res = evaluate_tracking(gt_car + gt_ped, _preds_on(gt_car), FRAMES)
+    assert np.isnan(res.per_class["pedestrian"]["amota"])
+    assert np.isnan(res.per_class["pedestrian"]["amotp"])
+    assert res.per_class["pedestrian"]["fn"] == 10
+    assert res.amota == 1.0  # car alone; pedestrian excluded, not averaged in
+    assert res.amotp == 0.0
+
+
+def test_traditional_metrics_at_best_mota_bin():
+    """Per-class mota/ids/tp/fp/fn/recall report at the BEST-MOTA bin
+    (evaluate.py nanargmax over md.mota), not the last achieved bin.
+
+    10 TPs with descending scores 1.0, 0.95, ..., 0.55; 8 far FPs at score
+    0.55. Matched staircase = the TP scores, so the recall-0.9 bin's
+    threshold is 0.6 (no FP passes: fn=1, mota=0.9) while the recall-1.0
+    bin's threshold is 0.55 (all 8 FPs pass: mota = 1 - 8/10 = 0.2). Best
+    MOTA is the recall-0.9 bin; the last-achieved bin would report 0.2.
+    """
+    gt = _gt_track()
+    preds = _preds_on(gt)
+    for i, p in enumerate(preds):
+        p["tracking_score"] = 1.0 - 0.05 * i
+    fps = [
+        {
+            "sample_token": f"f{i}",
+            "translation": [5000.0 + 300.0 * i, 5000.0, 0.0],
+            "tracking_name": "car",
+            "tracking_id": f"t_fp{i}",
+            "tracking_score": 0.55,
+        }
+        for i in range(8)
+    ]
+    res = evaluate_tracking(gt, preds + fps, FRAMES)
+    m = res.per_class["car"]
+    np.testing.assert_allclose(m["mota"], 0.9)
+    assert m["recall"] == 0.9
+    assert m["fn"] == 1
+    assert m["fp"] == 0
+
+
+def test_best_mota_tie_breaks_to_highest_recall():
+    """Perfect tracking ties MOTA = 1 in every bin; the tiebreak picks the
+    highest-recall bin, so the reported recall is 1.0."""
+    gt = _gt_track()
+    res = evaluate_tracking(gt, _preds_on(gt), FRAMES)
+    assert res.per_class["car"]["recall"] == 1.0
+    assert res.per_class["car"]["fn"] == 0
