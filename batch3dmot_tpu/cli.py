@@ -930,6 +930,8 @@ def _run_predict(
             f"'{model_kind}' has no frozen encoders (use --pipeline windows)"
         )
 
+    enc_by_token: Dict[str, dict] = {}
+    use_enc_cache = False
     if pipeline == "device":
         # no stores: scenes come straight from source data
         scenes = (
@@ -951,13 +953,73 @@ def _run_predict(
         variables = jax.jit(model.init)(jax.random.key(0), example)
         if checkpoint:
             variables = load_checkpoint(checkpoint, variables)
+        # Cached-embedding predict: when the per-scene encoder caches
+        # (<store>.b3d.enc.npz, digest-keyed to THIS checkpoint's frozen
+        # encoders — --encoded training writes them) cover the split,
+        # upload 608-d embeddings instead of raw crops+points: ~3.6x
+        # fewer bytes on the per-scene upload wall (docs/RESULTS.md) and
+        # no encoder FLOPs. embedding_cache=write builds missing caches
+        # (first run pays per-scene encodes); =off pins the raw path.
+        enc_by_path: Dict[str, dict] = {}
+        if pipeline == "encoded" and cfg.predict.embedding_cache != "off":
+            mode = cfg.predict.embedding_cache
+            if mode not in ("auto", "write"):
+                raise SystemExit(
+                    f"predict.embedding_cache must be auto|write|off, got "
+                    f"'{mode}'"
+                )
+            from batch3dmot_tpu.train.encoded import (
+                ENC_KEYS,
+                _encoder_digest,
+            )
+
+            digest = _encoder_digest(model, variables)
+            for p in paths:
+                cache_path = f"{p}.enc.npz"
+                if not os.path.exists(cache_path):
+                    continue
+                # cheap header read — digest mismatches (a different
+                # checkpoint's encoders) are NOT recomputed in auto mode,
+                # the run just falls back to the grouped raw encode
+                with np.load(cache_path, allow_pickle=False) as z:
+                    if str(z["digest"]) == digest:
+                        enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
+            use_enc_cache = mode == "write" or len(enc_by_path) == len(paths)
+            if not use_enc_cache and enc_by_path:
+                print(
+                    f"predict: valid embedding caches cover "
+                    f"{len(enc_by_path)}/{len(paths)} stores — using "
+                    "raw-modality encode (predict.embedding_cache=write "
+                    "builds the rest)"
+                )
         scene_iter = []
         for path in paths:
             windows = GraphStoreReader(path).windows()
-            scene = _scene_from_store(
-                path, windows, with_modalities=(pipeline == "encoded")
+            need_mods = pipeline == "encoded" and (
+                not use_enc_cache or path not in enc_by_path
             )
+            scene = _scene_from_store(
+                path, windows, with_modalities=need_mods
+            )
+            if use_enc_cache:
+                enc = enc_by_path.get(path)
+                if enc is None:  # write mode: compute + persist
+                    from batch3dmot_tpu.train.encoded import (
+                        scene_encodings_cached,
+                    )
+
+                    enc = scene_encodings_cached(
+                        model, variables, path,
+                        lambda p, s=scene: s,
+                    )
+                enc_by_token[scene.scene_token] = enc
             scene_iter.append((scene, windows))
+        if use_enc_cache:
+            print(
+                f"predict: cached-embedding path "
+                f"({cfg.predict.embedding_dtype} uploads, "
+                f"{len(paths)} scenes)"
+            )
 
     # lidar/radar upload at half precision by default (predict.point_dtype;
     # models.encoders.points_input_f32 upcasts on device — the MXU ingests
@@ -990,7 +1052,10 @@ def _run_predict(
     if pipeline == "windows":
         scorer = make_scorer(model, variables, mesh=mesh)
     elif pipeline == "encoded":
-        scorer = SceneEncodedScorer(model, variables, mesh=mesh)
+        scorer = SceneEncodedScorer(
+            model, variables, mesh=mesh,
+            embedding_dtype=cfg.predict.embedding_dtype,
+        )
     elif pipeline == "device":
         from batch3dmot_tpu.infer.device_pipeline import DeviceScenePipeline
 
@@ -1033,6 +1098,8 @@ def _run_predict(
         pred_edges, avg_scores = predict_scene(
             scorer, scene, windows, cfg,
             buckets=run_buckets, m_pad=run_m_pad,
+            encodings=enc_by_token.get(scene.scene_token)
+            if use_enc_cache else None,
         )
         return pred_edges, avg_scores, sum(w.num_edges for w in windows)
 
@@ -1194,6 +1261,9 @@ def _run_predict(
                     scorer, items, cfg,
                     buckets=run_buckets, m_pad=run_m_pad,
                     group_pad=group_size, num_batches=enc_num_batches,
+                    encodings_list=[
+                        enc_by_token[s.scene_token] for s, _ in items
+                    ] if use_enc_cache else None,
                 )
 
                 def _fin(s=staged_enc, it=items):

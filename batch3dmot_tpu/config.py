@@ -266,6 +266,21 @@ class PredictConfig:
     # is coarser than f16; models.encoders.points_input_f32 upcasts on
     # device). "float32" restores exact full-precision uploads.
     point_dtype: str = "float16"
+    # Cached-embedding predict (--pipeline encoded): reuse the per-scene
+    # frozen-encoder caches (<store>.b3d.enc.npz, digest-keyed — written by
+    # --encoded training and validated against the checkpoint's encoder
+    # subtree) and upload 608-d embeddings instead of raw crops+points.
+    #   "auto"  (default) use the caches when EVERY store has one; else the
+    #           raw-modality grouped encode (nothing written);
+    #   "write" use caches, computing + persisting any that are missing or
+    #           stale (first run pays per-scene encodes, re-runs are warm);
+    #   "off"   always raw-modality encode on device.
+    embedding_cache: str = "auto"
+    # Upload dtype for cached embeddings. f16 cuts the per-detection upload
+    # ~3.6x vs raw (1.2 KB vs 4.4 KB) and is the only rounding vs the
+    # encode-on-device path (the embeddings come from the same encoders);
+    # "float32" makes cached re-runs bit-exact instead.
+    embedding_dtype: str = "float16"
 
 
 @dataclass

@@ -44,6 +44,15 @@ def main():
     # with L=5 windows (VERDICT round-2 next #8)
     ap.add_argument("--window-len", type=int, default=3)
     ap.add_argument("--knn", type=int, default=8)
+    # error-bar machinery (VERDICT r4 next #2): vary the training seed
+    # (init + epoch shuffling; the scene data stays fixed), persist the
+    # trained weights, and re-score a saved checkpoint on a different
+    # held-out set size without retraining.
+    ap.add_argument("--train-seed", type=int, default=0)
+    ap.add_argument("--save-checkpoint", default="")
+    ap.add_argument("--load-checkpoint", default="",
+                    help="skip training; score this checkpoint on the "
+                    "held-out scenes")
     args = ap.parse_args()
 
     import jax
@@ -116,16 +125,31 @@ def main():
                 GNNConfig(lr=args.lr, weight_decay=1e-4, batch_size=args.batch_size,
                           loss="cb"),
                 fused=False if args.no_fused else "auto",
+                seed=args.train_seed,
             )
         if seed < args.scenes:
-            enc = precompute_scene_encodings(model, trainer.variables, scene)
-            train_items.extend((w, enc) for w in windows)
+            if not args.load_checkpoint:
+                enc = precompute_scene_encodings(model, trainer.variables, scene)
+                train_items.extend((w, enc) for w in windows)
         else:
             val_scenes.append((scene, windows))
     print(f"  data ready in {time.time()-t0:.1f}s: {len(train_items)} train windows", flush=True)
 
+    if args.load_checkpoint:
+        from batch3dmot_tpu.utils.checkpoint import load_checkpoint
+
+        loaded = load_checkpoint(args.load_checkpoint, trainer.variables)
+        trainer.state = trainer.state.replace(
+            params=loaded.pop("params"), extra_variables=loaded
+        )
+        history = [{"train/avgprec": float("nan")}]
+        steps, train_time = 0, float("nan")
+        print(f"loaded checkpoint {args.load_checkpoint}", flush=True)
+
     t0 = time.time()
-    if args.host_batches:
+    if args.load_checkpoint:
+        pass
+    elif args.host_batches:
         batcher = EncodedGraphBatcher(
             train_items, batch_size=args.batch_size, buckets=buckets,
             uniform=True,
@@ -143,12 +167,20 @@ def main():
         )
 
         ds = materialize_encoded_dataset_dedup(train_items, buckets=buckets)
-        history = trainer.fit_device(ds, epochs=args.epochs, verbose=True)
+        history = trainer.fit_device(
+            ds, epochs=args.epochs, verbose=True, seed=args.train_seed
+        )
         n_items = ds[0].pose.shape[0] - 1
         steps = (-(-n_items // args.batch_size)) * args.epochs
-    train_time = time.time() - t0
-    print(f"training: {train_time:.1f}s for {steps} steps "
-          f"({steps/train_time:.1f} steps/s)", flush=True)
+    if not args.load_checkpoint:
+        train_time = time.time() - t0
+        print(f"training: {train_time:.1f}s for {steps} steps "
+              f"({steps/train_time:.1f} steps/s)", flush=True)
+    if args.save_checkpoint:
+        from batch3dmot_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_checkpoint, trainer.variables)
+        print(f"saved checkpoint -> {args.save_checkpoint}", flush=True)
 
     if args.device_pipeline:
         from batch3dmot_tpu.infer.device_pipeline import predict_scene_device
@@ -196,14 +228,16 @@ def main():
     summary = {
         "train_windows": len(train_items),
         "epochs": args.epochs,
+        "train_seed": args.train_seed,
+        "val_scenes": args.val_scenes,
         "final_train_ap": history[-1]["train/avgprec"],
-        "steps_per_s": steps / train_time,
+        "steps_per_s": steps / train_time if steps else 0.0,
         "inference_edges": n_edges,
         "inference_s": infer_time,
         "amota": res.amota,
         "amotp": res.amotp,
     }
-    print(json.dumps(summary))
+    print("FLAGSHIP " + json.dumps(summary))
 
 
 if __name__ == "__main__":

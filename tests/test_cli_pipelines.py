@@ -431,3 +431,53 @@ def test_train_gnn_encoded_auto_device_dataset(mm_setup, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "exceeds" in out and "train batches/epoch" in out
     assert h and np.isfinite(h[0]["train/loss"])
+
+
+def test_encoded_pipeline_embedding_cache_roundtrip(mm_setup, capsys):
+    """Cached-embedding predict (predict.embedding_cache): `write` builds
+    the per-scene .enc.npz caches and scores from uploaded embeddings;
+    a warm `auto` re-run reuses them bit-identically; at f32 transport the
+    scores also match the raw encode-on-device path."""
+    tmp, ckpt, common = mm_setup
+
+    def run(tag, extra):
+        eval_dir = os.path.join(tmp, f"eval_embc_{tag}")
+        main([
+            "predict", "--model", "mm", "--checkpoint", ckpt,
+            "--pipeline", "encoded", *common,
+            "--set", f"paths.eval={eval_dir}", *extra,
+        ])
+        return _edge_scores(eval_dir), capsys.readouterr().out
+
+    s_off, out_off = run("off", ["--set", "predict.embedding_cache=off"])
+    assert "cached-embedding path" not in out_off
+
+    s_w, out_w = run("write", [
+        "--set", "predict.embedding_cache=write",
+        "--set", "predict.embedding_dtype=float32",
+    ])
+    assert "cached-embedding path" in out_w
+    stores = glob.glob(os.path.join(tmp, "nuscenes", "graphs", "*.b3d"))
+    assert stores and all(os.path.exists(f"{p}.enc.npz") for p in stores)
+
+    # f32 transport carries the same embeddings the raw path computes
+    assert s_off.keys() == s_w.keys() and s_off
+    for name in s_off:
+        assert s_off[name].keys() == s_w[name].keys()
+        a = np.array([s_off[name][k] for k in s_off[name]])
+        b = np.array([s_w[name][k] for k in s_off[name]])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # warm auto re-run: same caches, same program -> bit-identical scores
+    s_a, out_a = run("auto", ["--set", "predict.embedding_dtype=float32"])
+    assert "cached-embedding path" in out_a
+    for name in s_w:
+        assert s_w[name] == s_a[name]
+
+    # default f16 transport stays within rounding of the raw scores
+    s_16, out_16 = run("auto16", [])
+    assert "cached-embedding path" in out_16
+    for name in s_off:
+        a = np.array([s_off[name][k] for k in s_off[name]])
+        b = np.array([s_16[name][k] for k in s_off[name]])
+        np.testing.assert_allclose(a, b, atol=5e-3)

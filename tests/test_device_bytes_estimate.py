@@ -9,12 +9,9 @@ import glob
 import os
 
 import jax
-import numpy as np
-
 
 from batch3dmot_tpu.cli import _estimate_dedup_device_bytes, main
 from batch3dmot_tpu.config import Config
-
 
 def test_dedup_byte_estimate_pins_materialized_nbytes(tmp_path):
     main([
@@ -77,7 +74,6 @@ def test_dedup_byte_estimate_pins_materialized_nbytes(tmp_path):
     # misrouting trainval-scale training.
     assert abs(est - actual) <= 0.10 * actual, (est, actual)
     assert est > 0.5 * actual  # sanity: same order, not a degenerate pass
-
 
 def test_dedup_byte_estimate_fallback_without_sidecars(tmp_path):
     """Deleting the metadata sidecars exercises the dets-from-window-count

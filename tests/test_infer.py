@@ -604,3 +604,59 @@ def test_device_pipeline_grouped_matches_single():
         assert set(single) == set(grp)
         for key in single:
             assert abs(single[key] - grp[key]) < 1e-5, key
+
+
+def test_scene_encoded_scorer_cached_embeddings_match_raw():
+    """Cached-embedding inference (VERDICT r4 next #3): uploading the
+    persisted frozen-encoder outputs must reproduce the raw-modality
+    encode-on-device scores — exactly at f32 transport, within f16
+    rounding at the default transport (the embeddings come from the SAME
+    encoders; only the upload dtype differs). Covers both the per-scene
+    and the grouped (group_pad-padded) dispatch."""
+    import jax
+
+    from batch3dmot_tpu.infer.predict import SceneEncodedScorer
+    from batch3dmot_tpu.models import MultimodalGNN
+    from batch3dmot_tpu.train.encoded import precompute_scene_encodings
+
+    scene = make_synthetic_scene(
+        seed=9, num_frames=6, num_tracks=5, with_modalities=True,
+        modality_dropout=0.3,
+    )
+    windows = [
+        w
+        for w in build_scene_graphs(
+            scene, 3, GraphConstructionConfig(top_knn_nodes=4)
+        )
+        if w.num_edges > 0
+    ]
+    model = MultimodalGNN(depth=2)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), to_padded(windows[0], *BUCKETS[0])
+    )
+    enc = precompute_scene_encodings(model, variables, scene)
+
+    raw = SceneEncodedScorer(model, variables)
+    s_raw = raw.score_scene(scene, windows, 4, BUCKETS)
+
+    f32 = SceneEncodedScorer(model, variables, embedding_dtype="float32")
+    s_c32 = f32.score_scene(scene, windows, 4, BUCKETS, encodings=enc)
+    for a, b in zip(s_raw, s_c32):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    f16 = SceneEncodedScorer(model, variables)  # default f16 transport
+    s_c16 = f16.score_scene(scene, windows, 4, BUCKETS, encodings=enc)
+    for a, b in zip(s_raw, s_c16):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    # grouped dispatch with a padded group: same rows at g*m_pad offsets
+    grouped = f16.score_scenes(
+        [scene], [windows], 4, BUCKETS,
+        m_pad=64, group_pad=2, encodings_list=[enc],
+    )
+    s_c16_single = f16.score_scene(
+        scene, windows, 4, BUCKETS, m_pad=64, encodings=enc
+    )
+    for a, b in zip(grouped[0], s_c16_single):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

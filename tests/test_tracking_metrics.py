@@ -46,10 +46,15 @@ def test_perfect_tracking_amota_one():
     assert res.per_class["car"]["amotp"] == pytest.approx(0.0, abs=1e-9)
 
 
-def test_empty_predictions_amota_zero():
+def test_empty_predictions_amota_nan():
+    """A class with GT but no predictions has all-NaN bins: the devkit
+    reports NaN (not 0) and excludes the class from the aggregate
+    (see the derivation table in eval/tracking_metrics.py)."""
     gt = _make_gt()
     res = evaluate_tracking(gt, [], FRAMES)
-    assert res.per_class["car"]["amota"] == 0.0
+    assert np.isnan(res.per_class["car"]["amota"])
+    assert res.per_class["car"]["fn"] == len(gt)
+    assert np.isnan(res.amota)  # no class has any achieved bin
 
 
 def test_id_switch_detected():
@@ -91,21 +96,33 @@ def test_missed_half_lower_recall():
 
 
 def test_distance_gate_2m():
+    """Predictions 3 m off never match (2 m BEV gate): all-NaN bins, so
+    the class reports NaN (devkit semantics) with every GT box a FN and
+    every prediction a FP."""
     gt = _make_gt(num_tracks=1)
     preds = _perfect_preds(gt)
     for p in preds:
         p["translation"] = [p["translation"][0] + 3.0, p["translation"][1], 0]
     res = evaluate_tracking(gt, preds, FRAMES)
-    assert res.per_class["car"]["amota"] == 0.0
+    assert np.isnan(res.per_class["car"]["amota"])
+    assert res.per_class["car"]["fn"] == len(gt)
 
 
 def test_multi_class_average():
+    """Cross-class AMOTA is the mean over classes with achieved bins: car
+    perfect (1.0), pedestrian at half recall (18 achieved bins of MOTAR 1
+    out of 40 -> 0.45, the closed form from test_amota_golden)."""
     gt = _make_gt(cls="car") + _make_gt(cls="pedestrian")
-    preds = _perfect_preds([g for g in gt if g["tracking_name"] == "car"])
-    res = evaluate_tracking(gt, preds, FRAMES)
+    car_preds = _perfect_preds([g for g in gt if g["tracking_name"] == "car"])
+    ped_half = _perfect_preds([
+        g for g in gt
+        if g["tracking_name"] == "pedestrian"
+        and int(g["sample_token"][1:]) < 5
+    ])
+    res = evaluate_tracking(gt, car_preds + ped_half, FRAMES)
     assert res.per_class["car"]["amota"] == pytest.approx(1.0, abs=1e-6)
-    assert res.per_class["pedestrian"]["amota"] == 0.0
-    assert res.amota == pytest.approx(0.5, abs=1e-6)
+    assert res.per_class["pedestrian"]["amota"] == pytest.approx(18 / 40)
+    assert res.amota == pytest.approx((1.0 + 18 / 40) / 2, abs=1e-6)
 
 
 def test_summary_renders():
