@@ -33,6 +33,10 @@ re-derived from the published protocol is flagged):
 | amotp | same fill with ``metric_worst['amotp'] = 2.0`` (the 2 m match gate), mean over all 40; all-NaN -> NaN | (sum motp + 2.0 x unachieved)/n_recalls (``test_amotp_worst_fills_unachieved_bins``) |
 | motp (per bin) | motmetrics: mean BEV center distance over matches at that threshold | dist_sum / n_match |
 | mota / ids / tp / fp / fn / recall | reported at the best-MOTA threshold: ``evaluate.py`` picks ``nanargmax(md.mota)`` over bins; mota = ``mota_custom`` = max(0, 1-(FN+IDS+FP)/P) | best-MOTA bin; ties broken toward the HIGHEST recall (devkit comment's intent; the exact devkit tiebreak could not be re-derived in this environment — flagged, not assumed silent) |
+| mt / ml | motmetrics ``mostly_tracked``/``mostly_lost``: GT tracks matched >= 80% / < 20% of their present frames, at the best-MOTA bin | exact (``test_mt_ml_coverage_golden``) |
+| frag | motmetrics ``num_fragmentations``: tracked -> untracked -> tracked re-acquisitions per GT track, summed | exact (``test_frag_counts_reacquisitions``) |
+| faf | ``metrics.faf``: FP / num_frames x 100 (the accumulator updates on EVERY frame, matched or not) | exact over ``len(frame_order)`` frames |
+| tid / lgd | track-initialization / longest-gap durations in seconds (x0.5 s per frame at nuScenes' 2 Hz) | NOT reported: the exact gap-window semantics (whether pre-first-match time counts toward lgd) could not be re-derived here — use the devkit wrapper for these two fields |
 | match persistence | motmetrics ``MOTAccumulator`` per scene: previous (gt, track) pair kept while both present and within the gate; Hungarian (min distance) on the rest; IDS when a gt's matched track differs from its last match | identical; ``last_match`` keys are scene-scoped GT instance tokens, so persistence/IDS never cross scene boundaries (devkit: one accumulator per scene) |
 | class aggregation | nanmean over classes (classes with no GT or all-NaN bins excluded) | nanmean over per-class amota/amotp |
 
@@ -68,11 +72,16 @@ class TrackingEvalResult:
     amotp: float
 
     def summary(self) -> str:
-        lines = [f"{'class':<12} {'AMOTA':>7} {'AMOTP':>7} {'MOTA':>7} {'IDS':>5}"]
+        lines = [
+            f"{'class':<12} {'AMOTA':>7} {'AMOTP':>7} {'MOTA':>7} "
+            f"{'IDS':>5} {'FRAG':>5} {'MT':>4} {'ML':>4}"
+        ]
         for c, m in self.per_class.items():
             lines.append(
                 f"{c:<12} {m['amota']:7.3f} {m['amotp']:7.3f} "
-                f"{m['mota']:7.3f} {int(m['ids']):5d}"
+                f"{m['mota']:7.3f} {int(m['ids']):5d} "
+                f"{int(m.get('frag', 0)):5d} {int(m.get('mt', 0)):4d} "
+                f"{int(m.get('ml', 0)):4d}"
             )
         lines.append(f"{'avg':<12} {self.amota:7.3f} {self.amotp:7.3f}")
         return "\n".join(lines)
@@ -95,15 +104,22 @@ def _match_frames(
 ):
     """CLEAR-MOT accumulation for one class at one score threshold.
 
-    Returns (tp, fp, fn, ids, dist_sum, n_match, match_scores) where
-    match_scores are the tracking scores of the matched predictions (the
-    devkit derives its recall-sweep thresholds from these).
+    Returns (tp, fp, fn, ids, dist_sum, n_match, match_scores, tracks)
+    where match_scores are the tracking scores of the matched predictions
+    (the devkit derives its recall-sweep thresholds from these) and tracks
+    is a (mt, ml, frag) triple of GT-track coverage stats (motmetrics
+    semantics: MT = tracks matched >= 80% of their present frames, ML =
+    < 20%, FRAG = tracked -> untracked -> tracked transitions).
     """
     tp = fp = fn = ids = 0
     dist_sum = 0.0
     n_match = 0
     match_scores: List[float] = []
     last_match: Dict[str, str] = {}  # gt instance -> track id
+    present: Dict[str, int] = defaultdict(int)  # inst -> frames present
+    covered: Dict[str, int] = defaultdict(int)  # inst -> frames matched
+    frag_state: Dict[str, str] = {}  # inst -> 'tracked' | 'gap'
+    frag = 0
 
     for tok in frame_order:
         gts = gt_frames.get(tok, [])
@@ -164,11 +180,25 @@ def _match_frames(
             n_match += 1
             match_scores.append(float(preds[pi]["tracking_score"]))
 
+        # per-GT-track coverage bookkeeping (MT/ML/FRAG)
+        for gi in range(len(gts)):
+            inst = inst_of_gt[gi]
+            present[inst] += 1
+            if gi in matched_gt:
+                covered[inst] += 1
+                if frag_state.get(inst) == "gap":
+                    frag += 1  # re-acquired after an interruption
+                frag_state[inst] = "tracked"
+            elif frag_state.get(inst) == "tracked":
+                frag_state[inst] = "gap"
+
         tp += len(pairs)
         fp += len(preds) - len(matched_pr)
         fn += len(gts) - len(matched_gt)
 
-    return tp, fp, fn, ids, dist_sum, n_match, match_scores
+    mt = sum(1 for i, n in present.items() if covered[i] / n >= 0.8)
+    ml = sum(1 for i, n in present.items() if covered[i] / n < 0.2)
+    return tp, fp, fn, ids, dist_sum, n_match, match_scores, (mt, ml, frag)
 
 
 def evaluate_tracking(
@@ -206,7 +236,7 @@ def evaluate_tracking(
         # classes with a few confident FPs (e.g. interpolated trailer
         # boxes) silently zero out (round-4 flagship: trailer AMOTA was
         # exactly 1/40 because 39 of 40 bins were skipped this way).
-        *_, match_scores = _match_frames(
+        *_, match_scores, _tracks = _match_frames(
             gt_frames, pred_frames, frame_order, -np.inf
         )
         scores = np.sort(np.asarray(match_scores, float))[::-1]
@@ -217,9 +247,13 @@ def evaluate_tracking(
             # np.isnan(values)): value = np.nan`). Reporting amota = 0 here
             # instead (the pre-round-5 behavior) deflates the headline vs
             # the protocol.
+            n_tracks = len({
+                g["instance"] for v in gt_frames.values() for g in v
+            })
             per_class[cls] = dict(amota=float("nan"), amotp=float("nan"),
                                   mota=0.0, ids=0, tp=0, fp=0, fn=num_gt,
-                                  recall=0.0)
+                                  recall=0.0, mt=0, ml=n_tracks, frag=0,
+                                  faf=0.0)
             continue
 
         # Thresholds are interpolated at the target recalls over the
@@ -242,7 +276,7 @@ def evaluate_tracking(
                 cache[thresh] = _match_frames(
                     gt_frames, pred_frames, frame_order, thresh
                 )
-            tp, fp_, fn_, ids, dsum, nm, _ = cache[thresh]
+            tp, fp_, fn_, ids, dsum, nm, _, trk = cache[thresh]
             rec = tp / num_gt
             if tp == 0:
                 # devkit motar: rec == 0 -> NaN -> worst-filled (0 for
@@ -260,6 +294,11 @@ def evaluate_tracking(
             bins.append(dict(
                 mota=max(0.0, 1.0 - (ids + fp_ + fn_) / num_gt),
                 ids=ids, tp=tp, fp=fp_, fn=fn_, recall=rec,
+                mt=trk[0], ml=trk[1], frag=trk[2],
+                # false alarms per 100 frames over ALL frames of the split
+                # (the devkit updates its accumulator for every frame,
+                # matched or not)
+                faf=100.0 * fp_ / max(len(frame_order), 1),
             ))
 
         # Unachieved (NaN) bins enter the averages at the protocol's worst
@@ -278,7 +317,11 @@ def evaluate_tracking(
             motas = np.array([b["mota"] for b in bins])
             best = bins[len(bins) - 1 - int(np.argmax(motas[::-1]))]
         else:
-            best = dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0)
+            n_tracks = len({
+                g["instance"] for v in gt_frames.values() for g in v
+            })
+            best = dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0,
+                        mt=0, ml=n_tracks, frag=0, faf=0.0)
         entry.update(best)
         per_class[cls] = entry
 

@@ -211,3 +211,52 @@ def test_best_mota_tie_breaks_to_highest_recall():
     res = evaluate_tracking(gt, _preds_on(gt), FRAMES)
     assert res.per_class["car"]["recall"] == 1.0
     assert res.per_class["car"]["fn"] == 0
+
+
+def test_mt_ml_coverage_golden():
+    """MT = GT tracks matched >= 80% of their present frames; ML = < 20%
+    (motmetrics mostly_tracked / mostly_lost, reported at the best-MOTA
+    bin). One fully-covered track, one covered 1/10 frames."""
+    gt_a = _gt_track()
+    gt_b = [dict(g, instance="inst1",
+                 translation=[g["translation"][0], 500.0, 0.0])
+            for g in _gt_track()]
+    preds = _preds_on(gt_a, track_id="tA") + _preds_on(
+        gt_b[:1], track_id="tB"
+    )
+    res = evaluate_tracking(gt_a + gt_b, preds, FRAMES)
+    m = res.per_class["car"]
+    assert m["mt"] == 1  # inst0: 10/10
+    assert m["ml"] == 1  # inst1: 1/10 < 0.2
+    assert m["frag"] == 0
+
+
+def test_frag_counts_reacquisitions():
+    """A track matched on frames 0-3, unmatched (but present) on 4-5, and
+    matched again on 6-9 fragments exactly once; coverage 8/10 >= 0.8 so
+    it still counts as mostly-tracked."""
+    gt = _gt_track()
+    preds = _preds_on(gt[:4] + gt[6:], track_id="tA")
+    res = evaluate_tracking(gt, preds, FRAMES)
+    m = res.per_class["car"]
+    assert m["frag"] == 1
+    assert m["mt"] == 1
+    assert m["ids"] == 0  # same track id on re-acquisition
+
+
+def test_faf_per_100_frames():
+    """FAF = FP / num_frames x 100 over ALL frames of the split: 5 far FPs
+    at the TPs' score over 10 frames -> 50.0."""
+    gt = _gt_track()
+    fps = [
+        {
+            "sample_token": f"f{i}",
+            "translation": [5000.0 + 300.0 * i, 5000.0, 0.0],
+            "tracking_name": "car",
+            "tracking_id": f"fp{i}",
+            "tracking_score": 0.9,
+        }
+        for i in range(5)
+    ]
+    res = evaluate_tracking(gt, _preds_on(gt) + fps, FRAMES)
+    np.testing.assert_allclose(res.per_class["car"]["faf"], 50.0)
