@@ -282,41 +282,52 @@ def _graft_encoder_checkpoints(args, trainer) -> None:
     )
 
 
-def _estimate_dedup_device_bytes(paths) -> int:
+def _estimate_dedup_device_bytes(*path_sets) -> int:
     """Cheap estimate of the device-resident DEDUP dataset size (padded
-    window graphs at their buckets + det_index + one encoding-table row
-    per detection) from store headers and metadata sidecars alone — no
-    array data is read and nothing is encoded. Gates the automatic
-    ``--encoded`` device-resident upgrade; the exact post-materialization
-    guard in ``_fit_device_dataset`` still runs afterwards."""
+    window graphs at their materialization buckets + det_index + one
+    encoding-table row per detection) from store headers and metadata
+    sidecars alone — no array data is read and nothing is encoded. Gates
+    the automatic ``--encoded`` device-resident upgrade; the exact
+    post-materialization guard in ``_fit_device_dataset`` still runs
+    afterwards. Each positional arg is one path set materialized as its
+    own dataset (train / val), mirroring ``group_sizes_by_bucket``'s
+    uniform-bucket coalescing — summing per-window ``pick_bucket`` sizes
+    instead undercounted the trainval set ~25% (the 4x-waste guard pads
+    most windows UP to the densest window's bucket; round-5 convergence
+    run: est 3.27 vs 4.26 GiB actual). Pinned within 5% of the
+    materialized ``nbytes`` by ``tests/test_device_bytes_estimate.py``."""
     import json as _json
 
-    from batch3dmot_tpu.graph import pick_bucket
     from batch3dmot_tpu.io import GraphStoreReader
+    from batch3dmot_tpu.train.data import group_sizes_by_bucket
 
     total = 0
     dets = 0
     total_nodes = 0
     window_len = 2
-    for p in paths:
-        r = GraphStoreReader(p)
-        window_len = max(window_len, getattr(r, "window_len", 2))
-        nodes, edges = r.window_sizes()
-        for n, e in zip(nodes, edges):
-            if n <= 0 or e <= 0:
-                continue
-            mn, me = pick_bucket(n, e)
-            # modality-free PaddedGraph leaves: pose 76B/node +
-            # time/class i32 + mask ~85B/node; src/dst/attr/mask/label/
-            # weight ~33B/edge; det_index 4B/node
-            total += mn * 89 + me * 33
-            total_nodes += n
-        meta_path = p.replace(".b3d", "_metadata.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                dets += len(_json.load(f))
-        else:
-            dets = -1  # force the fallback estimate below
+    for paths in path_sets:
+        sizes = []
+        for p in paths:
+            r = GraphStoreReader(p)
+            window_len = max(window_len, getattr(r, "window_len", 2))
+            nodes, edges = r.window_sizes()
+            sizes.extend(
+                (n, e) for n, e in zip(nodes, edges) if n > 0 and e > 0
+            )
+            total_nodes += sum(n for n, e in zip(nodes, edges) if n > 0 and e > 0)
+            meta_path = p.replace(".b3d", "_metadata.json")
+            if os.path.exists(meta_path) and dets >= 0:
+                with open(meta_path) as f:
+                    dets += len(_json.load(f))
+            else:
+                dets = -1  # force the fallback estimate below
+        if not sizes:
+            continue
+        for (mn, me), idxs in group_sizes_by_bucket(sizes):
+            # modality-free PaddedGraph leaves: pose 76B/node + time/class
+            # i32 + mask ~85B/node + det_index 4B/node; src/dst/attr/mask/
+            # label/weight ~33B/edge; +1 = the empty pad slot per group
+            total += (len(idxs) + 1) * (mn * 89 + me * 33)
     if dets < 0:
         # no sidecars: each detection appears in ~window_len windows
         dets = total_nodes // max(window_len, 1) + 1
@@ -471,7 +482,7 @@ def cmd_train_gnn(args) -> None:
                 float(os.environ.get("B3D_DEVICE_DATASET_GB", "6"))
                 * 2**30 * n_chips
             )
-            est = _estimate_dedup_device_bytes(train_paths + val_paths)
+            est = _estimate_dedup_device_bytes(train_paths, val_paths)
             if est <= 0.8 * budget:
                 print(
                     f"train-gnn: auto device-resident dataset (est. "

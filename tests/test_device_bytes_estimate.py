@@ -68,12 +68,13 @@ def test_dedup_byte_estimate_pins_materialized_nbytes(tmp_path):
                 seen.add(id(a))
                 actual += a.nbytes
 
-    # The estimate ignores the one empty pad slot per group and the +1
-    # zero table row, so it should sit within 10% of the real figure; a
-    # PaddedGraph/table layout drift breaks this instead of silently
+    # The estimate mirrors group_sizes_by_bucket's uniform-bucket
+    # coalescing (round-5 fix: per-window pick_bucket sums undercounted
+    # the trainval set ~25%) and counts the empty pad slot per group, so
+    # it must sit within 5% of the real figure; a PaddedGraph/table
+    # layout or grouping drift breaks this instead of silently
     # misrouting trainval-scale training.
-    assert abs(est - actual) <= 0.10 * actual, (est, actual)
-    assert est > 0.5 * actual  # sanity: same order, not a degenerate pass
+    assert abs(est - actual) <= 0.05 * actual, (est, actual)
 
 def test_dedup_byte_estimate_fallback_without_sidecars(tmp_path):
     """Deleting the metadata sidecars exercises the dets-from-window-count
