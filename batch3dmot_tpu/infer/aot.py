@@ -28,17 +28,64 @@ from jax import export as jax_export
 _FORMAT_VERSION = 2
 
 
+def _packed_leaf_bytes(leaves):
+    """Every leaf's raw bytes as ONE device uint8 vector (tobytes order).
+
+    ``np.asarray(leaf)`` per leaf costs a synchronous device round trip
+    each; through the TPU relay that is ~0.1-1 s x hundreds of leaves
+    (measured 95 s for the mm encoder subtrees on a congested relay,
+    docs/RESULTS.md round 5). Bitcasting each leaf to uint8 on device and
+    concatenating makes it one dispatch + one fetch of the same bytes —
+    `lax.bitcast_convert_type` to a narrower type appends a minor byte
+    dimension in little-endian order, exactly `tobytes()` on this (LE)
+    host, so digests are unchanged (test_aot.py pins host/device equality).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def leaf_bytes(x):
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.uint8)  # same bytes: \x00/\x01
+        if x.dtype == jnp.uint8:
+            return x.reshape(-1)
+        return lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    return jax.jit(
+        lambda ls: jnp.concatenate([leaf_bytes(x) for x in ls])
+    )(leaves)
+
+
 def pytree_digest(tree) -> str:
     """Short content digest of a pytree of arrays (shape+dtype+values).
     Use for keys that must change with a checkpoint's VALUES."""
     import numpy as np
 
+    leaves = jax.tree.leaves(tree)
+    # committed (on-device) leaves: fetch ALL their bytes in one transfer
+    dev_idx = [
+        i for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and l.size and not isinstance(l, np.ndarray)
+    ]
+    packed = {}
+    if dev_idx:
+        buf = np.asarray(_packed_leaf_bytes([leaves[i] for i in dev_idx]))
+        off = 0
+        for i in dev_idx:
+            nb = leaves[i].size * leaves[i].dtype.itemsize
+            packed[i] = buf[off : off + nb].tobytes()
+            off += nb
+        assert off == buf.size, (off, buf.size)
     h = hashlib.sha1()
-    for leaf in jax.tree.leaves(tree):
-        arr = np.asarray(leaf)
-        h.update(str(arr.shape).encode())
-        h.update(str(arr.dtype).encode())
-        h.update(arr.tobytes())
+    for i, leaf in enumerate(leaves):
+        if i in packed:
+            h.update(str(tuple(leaf.shape)).encode())
+            h.update(str(leaf.dtype).encode())
+            h.update(packed[i])
+        else:
+            arr = np.asarray(leaf)
+            h.update(str(arr.shape).encode())
+            h.update(str(arr.dtype).encode())
+            h.update(arr.tobytes())
     return h.hexdigest()[:16]
 
 

@@ -105,3 +105,34 @@ def test_pytree_digest_changes_with_content():
     b = {"w": jnp.ones((3, 3)) * 2}
     assert pytree_digest(a) != pytree_digest(b)
     assert pytree_digest(a) == pytree_digest({"w": jnp.ones((3, 3))})
+
+
+def test_pytree_digest_host_device_identical():
+    """The single-fetch packed path (device leaves) must produce the SAME
+    digest as the host tobytes path (numpy leaves): caches written by one
+    residency must validate under the other, and digests from before the
+    round-5 pack change must stay valid."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    host = {
+        "f32": rng.standard_normal((5, 3)).astype(np.float32),
+        "scalar": np.float32(1.5),
+        "i32": rng.integers(-9, 9, (4,), dtype=np.int32),
+        "b": np.array([True, False, True]),
+        "u8": rng.integers(0, 255, (6,), dtype=np.uint8),
+        "f16": rng.standard_normal((3, 2)).astype(np.float16),
+    }
+    dev = jax.tree.map(jnp.asarray, host)
+    d_host = pytree_digest(host)
+    assert pytree_digest(dev) == d_host
+    # and both equal the original (pre-pack) formula, byte for byte
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(host):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    assert d_host == h.hexdigest()[:16]
