@@ -991,10 +991,18 @@ def _run_predict(
                     continue
                 # cheap header read — digest mismatches (a different
                 # checkpoint's encoders) are NOT recomputed in auto mode,
-                # the run just falls back to the grouped raw encode
-                with np.load(cache_path, allow_pickle=False) as z:
-                    if str(z["digest"]) == digest:
-                        enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
+                # the run just falls back to the grouped raw encode; so
+                # does an UNREADABLE cache (corrupt/foreign npz): writes
+                # are atomic (os.replace) but the disk is not trusted
+                try:
+                    with np.load(cache_path, allow_pickle=False) as z:
+                        if str(z["digest"]) == digest:
+                            enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
+                except Exception as e:
+                    print(
+                        f"predict: ignoring unreadable embedding cache "
+                        f"{cache_path} ({e})"
+                    )
             use_enc_cache = mode == "write" or len(enc_by_path) == len(paths)
             if not use_enc_cache and enc_by_path:
                 print(

@@ -120,9 +120,14 @@ def scene_encodings_cached(
     digest = _encoder_digest(model, variables)
     cache_path = f"{store_path}.enc.npz"
     if cache and os.path.exists(cache_path):
-        with np.load(cache_path, allow_pickle=False) as z:
-            if str(z["digest"]) == digest:
-                return {k: z[k] for k in ENC_KEYS}
+        # an unreadable cache (corrupt/foreign npz) recomputes + rewrites:
+        # writes are atomic (os.replace) but the disk is not trusted
+        try:
+            with np.load(cache_path, allow_pickle=False) as z:
+                if str(z["digest"]) == digest:
+                    return {k: z[k] for k in ENC_KEYS}
+        except Exception:
+            pass
     scene = scene_loader(store_path)
     enc = precompute_scene_encodings(model, variables, scene)
     if cache:

@@ -481,3 +481,13 @@ def test_encoded_pipeline_embedding_cache_roundtrip(mm_setup, capsys):
         a = np.array([s_off[name][k] for k in s_off[name]])
         b = np.array([s_16[name][k] for k in s_off[name]])
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+    # a corrupt cache file must not crash `auto`: it is skipped (loudly)
+    # and the run falls back to the raw grouped encode — scores unchanged
+    with open(f"{stores[0]}.enc.npz", "wb") as f:
+        f.write(b"not an npz")
+    s_c, out_c = run("corrupt", ["--set", "predict.embedding_dtype=float32"])
+    assert "ignoring unreadable embedding cache" in out_c
+    assert "cached-embedding path" not in out_c
+    for name in s_off:
+        assert s_off[name] == s_c[name]
