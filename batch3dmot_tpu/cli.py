@@ -515,11 +515,18 @@ def cmd_train_gnn(args) -> None:
                 scene_encodings_cached,
             )
 
+            from batch3dmot_tpu.train.encoded import _encoder_digest
+
+            # one digest for the whole materialization (per-scene
+            # recomputation costs a device fetch per call)
+            enc_digest = _encoder_digest(model, trainer.variables)
+
             def encoded_items(paths):
                 items = []
                 for p in paths:
                     enc = scene_encodings_cached(
-                        model, trainer.variables, p, scene_loader
+                        model, trainer.variables, p, scene_loader,
+                        digest=enc_digest,
                     )
                     items.extend(
                         (w, enc)
@@ -996,8 +1003,27 @@ def _run_predict(
                 # are atomic (os.replace) but the disk is not trusted
                 try:
                     with np.load(cache_path, allow_pickle=False) as z:
-                        if str(z["digest"]) == digest:
-                            enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
+                        if str(z["digest"]) != digest:
+                            continue
+                        # the digest keys the ENCODERS only: a store
+                        # rebuilt in place (different density/detector)
+                        # next to its old cache would silently misalign
+                        # every row — validate against the store's own
+                        # detection count (the metadata sidecar)
+                        with open(
+                            p.replace(".b3d", "_metadata.json")
+                        ) as f:
+                            n_det = len(json.load(f))
+                        if len(z["x_img"]) != n_det:
+                            print(
+                                f"predict: ignoring stale embedding cache "
+                                f"{cache_path} ({len(z['x_img'])} rows vs "
+                                f"{n_det} store detections — the store was "
+                                "rebuilt; predict.embedding_cache=write "
+                                "refreshes it)"
+                            )
+                            continue
+                        enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
                 except Exception as e:
                     print(
                         f"predict: ignoring unreadable embedding cache "
@@ -1030,6 +1056,8 @@ def _run_predict(
                     enc = scene_encodings_cached(
                         model, variables, path,
                         lambda p, s=scene: s,
+                        digest=digest,
+                        expected_rows=scene.num_detections,
                     )
                 enc_by_token[scene.scene_token] = enc
             scene_iter.append((scene, windows))
@@ -1117,7 +1145,10 @@ def _run_predict(
         pred_edges, avg_scores = predict_scene(
             scorer, scene, windows, cfg,
             buckets=run_buckets, m_pad=run_m_pad,
-            encodings=enc_by_token.get(scene.scene_token)
+            # direct index, like the grouped path: a miss here is a bug
+            # (desynced dicts) and must raise, not silently score the
+            # all-zero absent-modality encoding
+            encodings=enc_by_token[scene.scene_token]
             if use_enc_cache else None,
         )
         return pred_edges, avg_scores, sum(w.num_edges for w in windows)

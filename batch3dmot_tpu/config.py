@@ -277,9 +277,12 @@ class PredictConfig:
     #   "off"   always raw-modality encode on device.
     embedding_cache: str = "auto"
     # Upload dtype for cached embeddings. f16 cuts the per-detection upload
-    # ~3.6x vs raw (1.2 KB vs 4.4 KB) and is the only rounding vs the
-    # encode-on-device path (the embeddings come from the same encoders);
-    # "float32" makes cached re-runs bit-exact instead.
+    # ~3.6x vs raw (1.2 KB vs 4.4 KB); the embeddings come from the same
+    # encoders (the digest pins that), so transport rounding is the main
+    # difference vs the encode-on-device path. "float32" transport is
+    # bit-exact vs raw ONLY when point_dtype=float32 too: caches are built
+    # from full-precision points, while the default raw path encodes
+    # f16-rounded lidar/radar (~1e-5 relative residual either way).
     embedding_dtype: str = "float16"
 
 

@@ -32,7 +32,7 @@ re-derived from the published protocol is flagged):
 | amota | ``evaluate.py`` AVG_METRIC_MAP: NaN (unachieved/duplicate-source) bins filled with ``metric_worst['amota'] = 0``, then mean over all 40; ALL-NaN (class with GT but zero matches) -> NaN, excluded from the class mean | sum(motar)/n_recalls; no-match class -> NaN (``test_amota_no_match_class_is_nan``) |
 | amotp | same fill with ``metric_worst['amotp'] = 2.0`` (the 2 m match gate), mean over all 40; all-NaN -> NaN | (sum motp + 2.0 x unachieved)/n_recalls (``test_amotp_worst_fills_unachieved_bins``) |
 | motp (per bin) | motmetrics: mean BEV center distance over matches at that threshold | dist_sum / n_match |
-| mota / ids / tp / fp / fn / recall | reported at the best-MOTA threshold: ``evaluate.py`` picks ``nanargmax(md.mota)`` over bins; mota = ``mota_custom`` = max(0, 1-(FN+IDS+FP)/P) | best-MOTA bin; ties broken toward the HIGHEST recall (devkit comment's intent; the exact devkit tiebreak could not be re-derived in this environment — flagged, not assumed silent) |
+| mota / ids / tp / fp / fn / recall | reported at the best-MOTA threshold: ``evaluate.py`` picks ``nanargmax(md.mota)`` over bins; mota = ``mota_custom`` = max(0, 1-(FN+IDS+FP)/P) | best-MOTA bin; ``np.nanargmax`` returns the FIRST max over the ascending-recall bins, i.e. ties break toward the LOWEST recall — ``argmax`` over the achieved-only bin list here is the same selection (NaN bins never hold the max) |
 | mt / ml | motmetrics ``mostly_tracked``/``mostly_lost``: GT tracks matched >= 80% / < 20% of their present frames, at the best-MOTA bin | exact (``test_mt_ml_coverage_golden``) |
 | frag | motmetrics ``num_fragmentations``: tracked -> untracked -> tracked re-acquisitions per GT track, summed | exact (``test_frag_counts_reacquisitions``) |
 | faf | ``metrics.faf``: FP / num_frames x 100 (the accumulator updates on EVERY frame, matched or not) | exact over ``len(frame_order)`` frames |
@@ -312,10 +312,13 @@ def evaluate_tracking(
         )
         entry = dict(amota=amota, amotp=amotp)
         if bins:
-            # traditional metrics report at the best-MOTA bin; ties break
-            # toward the highest recall (see module docstring table)
+            # traditional metrics report at the best-MOTA bin; bins ascend
+            # in recall and np.argmax takes the FIRST max — exactly the
+            # devkit's nanargmax(md.mota) over its ascending-recall bins
+            # with NaN (unachieved) entries ignored, which the achieved-only
+            # `bins` list reproduces (see module docstring table)
             motas = np.array([b["mota"] for b in bins])
-            best = bins[len(bins) - 1 - int(np.argmax(motas[::-1]))]
+            best = bins[int(np.argmax(motas))]
         else:
             n_tracks = len({
                 g["instance"] for v in gt_frames.values() for g in v

@@ -27,6 +27,8 @@ from jax import export as jax_export
 # path flushes denormals, which corrupts bitcast int32 payloads.)
 _FORMAT_VERSION = 2
 
+_PACK_JIT = None
+
 
 def _packed_leaf_bytes(leaves):
     """Every leaf's raw bytes as ONE device uint8 vector (tobytes order).
@@ -50,9 +52,16 @@ def _packed_leaf_bytes(leaves):
             return x.reshape(-1)
         return lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
-    return jax.jit(
-        lambda ls: jnp.concatenate([leaf_bytes(x) for x in ls])
-    )(leaves)
+    # ONE module-level jit wrapper: a fresh `jax.jit(lambda ...)` per call
+    # would retrace (and, through the relay, reload the executable) on
+    # every digest of the same tree — per scene in write-mode cached
+    # predict and per scene per epoch in streaming --encoded training
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        _PACK_JIT = jax.jit(
+            lambda ls: jnp.concatenate([leaf_bytes(x) for x in ls])
+        )
+    return _PACK_JIT(leaves)
 
 
 def pytree_digest(tree) -> str:

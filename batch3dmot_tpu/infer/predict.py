@@ -266,8 +266,11 @@ class SceneEncodedScorer:
         # upload wall (docs/RESULTS.md round 4 declared it the binding
         # constraint), and it skips the encoder FLOPs entirely. The
         # embeddings themselves were computed by the SAME encoders (the
-        # digest pins that), so f16 is the only rounding vs the
-        # encode-on-device path; "float32" makes the re-run bit-exact.
+        # digest pins that), so transport rounding is the main difference
+        # vs the encode-on-device path; "float32" transport is bit-exact
+        # vs raw only at predict.point_dtype=float32 (caches encode
+        # full-precision points; the default raw path encodes f16-rounded
+        # ones — a ~1e-5 relative residual).
         self.embedding_dtype = np.dtype(embedding_dtype or np.float32)
 
         @jax.jit

@@ -110,21 +110,32 @@ def _encoder_digest(model, variables) -> str:
 
 
 def scene_encodings_cached(
-    model, variables, store_path: str, scene_loader, cache: bool = True
+    model, variables, store_path: str, scene_loader, cache: bool = True,
+    digest: Optional[str] = None, expected_rows: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Per-scene encoding table, persisted next to the ``.b3d`` store as
     ``<store>.enc.npz`` keyed by the frozen-encoder digest (round-3: lets
     ``--encoded`` training stream scene-by-scene and restart without
     re-encoding; the reference has no equivalent — it re-encodes every
-    window every epoch, ``clr_att_gnn.py:125-141``)."""
-    digest = _encoder_digest(model, variables)
+    window every epoch, ``clr_att_gnn.py:125-141``).
+
+    ``digest``: pass the precomputed encoder digest when calling per scene —
+    recomputing it here costs a device fetch per call. ``expected_rows``:
+    the store's detection count when the caller knows it; a digest-matching
+    cache with a different row count (the store was rebuilt in place, e.g.
+    at a different density) is stale and recomputed, not trusted."""
+    if digest is None:
+        digest = _encoder_digest(model, variables)
     cache_path = f"{store_path}.enc.npz"
     if cache and os.path.exists(cache_path):
         # an unreadable cache (corrupt/foreign npz) recomputes + rewrites:
         # writes are atomic (os.replace) but the disk is not trusted
         try:
             with np.load(cache_path, allow_pickle=False) as z:
-                if str(z["digest"]) == digest:
+                if str(z["digest"]) == digest and (
+                    expected_rows is None
+                    or len(z["x_img"]) == expected_rows
+                ):
                     return {k: z[k] for k in ENC_KEYS}
         except Exception:
             pass
@@ -180,6 +191,10 @@ class StreamingEncodedBatcher:
         self.variables = jax.tree.map(lambda x: jnp.array(x), variables)
         self.scene_loader = scene_loader
         self.cache = cache
+        # digest once per batcher, not per scene per epoch: each
+        # _encoder_digest call fetches the packed encoder bytes (one relay
+        # round trip; docs/RESULTS.md round 5 "the 95 s digest fetch")
+        self._digest = _encoder_digest(model, self.variables)
         self._rng = np.random.default_rng(seed)
         self.store_paths = list(store_paths)
         # header-only size index (no array data loaded)
@@ -224,7 +239,8 @@ class StreamingEncodedBatcher:
             if not live:
                 continue
             enc = scene_encodings_cached(
-                self.model, self.variables, path, self.scene_loader, self.cache
+                self.model, self.variables, path, self.scene_loader,
+                self.cache, digest=self._digest,
             )
             reader = GraphStoreReader(path)
             by_bucket: Dict[Tuple[int, int], List[int]] = {}

@@ -87,6 +87,16 @@ def run():
         ):
             for pass_no in (1, 2):
                 timed(label, pass_no, spb + extra)
+
+        # B3D_BENCH_SPB="2,4,6": group-size sweep of the WARM cached path —
+        # cached embeddings cut per-scene upload ~3.6x, so the group size
+        # that balanced upload overlap against dispatch count for the raw
+        # path (2 at trainval density) may no longer be optimal
+        for g in filter(None, os.environ.get("B3D_BENCH_SPB", "").split(",")):
+            for pass_no in (1, 2):
+                timed(f"cache-warm-spb{g}", pass_no, [
+                    "--set", f"predict.scenes_per_batch={int(g)}",
+                ])
         if (("raw-off", 2) in results and ("cache-auto-warm", 2) in results):
             print(
                 f"warm-cache speedup vs raw (pass2): "

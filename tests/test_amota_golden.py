@@ -204,13 +204,42 @@ def test_traditional_metrics_at_best_mota_bin():
     assert m["fp"] == 0
 
 
-def test_best_mota_tie_breaks_to_highest_recall():
-    """Perfect tracking ties MOTA = 1 in every bin; the tiebreak picks the
-    highest-recall bin, so the reported recall is 1.0."""
+def test_best_mota_all_bins_identical_reports_full_recall():
+    """Perfect tracking with uniform scores collapses every bin to ONE
+    threshold (identical stats); the reported recall is 1.0 regardless of
+    tie-break direction."""
     gt = _gt_track()
     res = evaluate_tracking(gt, _preds_on(gt), FRAMES)
     assert res.per_class["car"]["recall"] == 1.0
     assert res.per_class["car"]["fn"] == 0
+
+
+def test_best_mota_tie_breaks_to_lowest_recall():
+    """devkit tie-break: ``np.nanargmax(md.mota)`` returns the FIRST max
+    over the ascending-recall bins — ties report the LOWEST-recall bin.
+
+    10 TPs with scores 1.0, 0.95, ..., 0.55 and one far FP at 0.58: the
+    recall-1.0 bin (threshold 0.55) admits the FP (fp=1, fn=0, mota=0.9)
+    while bins with thresholds in (0.58, 0.6] drop the last TP but exclude
+    the FP (fp=0, fn=1, mota=0.9) — a tie with DIFFERENT stats. nanargmax
+    picks the lower-recall bin: recall 0.9, fn=1, fp=0."""
+    gt = _gt_track()
+    preds = _preds_on(gt)
+    for i, p in enumerate(preds):
+        p["tracking_score"] = 1.0 - 0.05 * i
+    fp = {
+        "sample_token": "f0",
+        "translation": [5000.0, 5000.0, 0.0],
+        "tracking_name": "car",
+        "tracking_id": "t_fp",
+        "tracking_score": 0.58,
+    }
+    res = evaluate_tracking(gt, preds + [fp], FRAMES)
+    m = res.per_class["car"]
+    np.testing.assert_allclose(m["mota"], 0.9)
+    assert m["recall"] == 0.9
+    assert m["fn"] == 1
+    assert m["fp"] == 0
 
 
 def test_mt_ml_coverage_golden():

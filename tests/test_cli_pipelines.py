@@ -482,6 +482,22 @@ def test_encoded_pipeline_embedding_cache_roundtrip(mm_setup, capsys):
         b = np.array([s_16[name][k] for k in s_off[name]])
         np.testing.assert_allclose(a, b, atol=5e-3)
 
+    # a STALE cache (digest matches, row count doesn't — the store was
+    # rebuilt in place) must not misalign scores: it is skipped (loudly)
+    # and `auto` falls back to the raw grouped encode — scores unchanged
+    with np.load(f"{stores[0]}.enc.npz", allow_pickle=False) as z:
+        full = {k: z[k] for k in z.files}
+    np.savez(
+        f"{stores[0]}.enc.npz",
+        **{k: (v[:-1] if getattr(v, "ndim", 0) else v)
+           for k, v in full.items()},
+    )
+    s_s, out_s = run("stale", ["--set", "predict.embedding_dtype=float32"])
+    assert "ignoring stale embedding cache" in out_s
+    assert "cached-embedding path" not in out_s
+    for name in s_off:
+        assert s_off[name] == s_s[name]
+
     # a corrupt cache file must not crash `auto`: it is skipped (loudly)
     # and the run falls back to the raw grouped encode — scores unchanged
     with open(f"{stores[0]}.enc.npz", "wb") as f:
