@@ -978,7 +978,7 @@ def _run_predict(
         # fewer bytes on the per-scene upload wall (docs/RESULTS.md) and
         # no encoder FLOPs. embedding_cache=write builds missing caches
         # (first run pays per-scene encodes); =off pins the raw path.
-        enc_by_path: Dict[str, dict] = {}
+        cache_valid: set = set()
         if pipeline == "encoded" and cfg.predict.embedding_cache != "off":
             mode = cfg.predict.embedding_cache
             if mode not in ("auto", "write"):
@@ -987,53 +987,30 @@ def _run_predict(
                     f"'{mode}'"
                 )
             from batch3dmot_tpu.train.encoded import (
-                ENC_KEYS,
                 _encoder_digest,
+                probe_scene_encoding_cache,
+                store_detection_count,
             )
 
             digest = _encoder_digest(model, variables)
+            # validity pass WITHOUT materializing arrays (load=False):
+            # whether the cached path is taken at all depends on coverage,
+            # and eagerly loading 550 scenes' embeddings only to discard
+            # them on a single miss would double peak host RAM. Digest
+            # mismatches (a different checkpoint's encoders) are NOT
+            # recomputed in auto mode — the run just falls back to the
+            # grouped raw encode; stale row counts (store rebuilt in
+            # place) and unreadable caches are reported by the probe.
             for p in paths:
-                cache_path = f"{p}.enc.npz"
-                if not os.path.exists(cache_path):
-                    continue
-                # cheap header read — digest mismatches (a different
-                # checkpoint's encoders) are NOT recomputed in auto mode,
-                # the run just falls back to the grouped raw encode; so
-                # does an UNREADABLE cache (corrupt/foreign npz): writes
-                # are atomic (os.replace) but the disk is not trusted
-                try:
-                    with np.load(cache_path, allow_pickle=False) as z:
-                        if str(z["digest"]) != digest:
-                            continue
-                        # the digest keys the ENCODERS only: a store
-                        # rebuilt in place (different density/detector)
-                        # next to its old cache would silently misalign
-                        # every row — validate against the store's own
-                        # detection count (the metadata sidecar)
-                        with open(
-                            p.replace(".b3d", "_metadata.json")
-                        ) as f:
-                            n_det = len(json.load(f))
-                        if len(z["x_img"]) != n_det:
-                            print(
-                                f"predict: ignoring stale embedding cache "
-                                f"{cache_path} ({len(z['x_img'])} rows vs "
-                                f"{n_det} store detections — the store was "
-                                "rebuilt; predict.embedding_cache=write "
-                                "refreshes it)"
-                            )
-                            continue
-                        enc_by_path[p] = {k: z[k] for k in ENC_KEYS}
-                except Exception as e:
-                    print(
-                        f"predict: ignoring unreadable embedding cache "
-                        f"{cache_path} ({e})"
-                    )
-            use_enc_cache = mode == "write" or len(enc_by_path) == len(paths)
-            if not use_enc_cache and enc_by_path:
+                if probe_scene_encoding_cache(
+                    p, digest, store_detection_count(p), load=False
+                ):
+                    cache_valid.add(p)
+            use_enc_cache = mode == "write" or len(cache_valid) == len(paths)
+            if not use_enc_cache and cache_valid:
                 print(
                     f"predict: valid embedding caches cover "
-                    f"{len(enc_by_path)}/{len(paths)} stores — using "
+                    f"{len(cache_valid)}/{len(paths)} stores — using "
                     "raw-modality encode (predict.embedding_cache=write "
                     "builds the rest)"
                 )
@@ -1041,14 +1018,28 @@ def _run_predict(
         for path in paths:
             windows = GraphStoreReader(path).windows()
             need_mods = pipeline == "encoded" and (
-                not use_enc_cache or path not in enc_by_path
+                not use_enc_cache or path not in cache_valid
             )
             scene = _scene_from_store(
                 path, windows, with_modalities=need_mods
             )
             if use_enc_cache:
-                enc = enc_by_path.get(path)
+                enc = None
+                if path in cache_valid:
+                    enc = probe_scene_encoding_cache(
+                        path, digest, scene.num_detections
+                    )
                 if enc is None:  # write mode: compute + persist
+                    if not need_mods:
+                        # auto mode validated this cache in the first pass
+                        # but it vanished/changed before the load — the
+                        # scene was read modality-free, so recomputing
+                        # here is impossible
+                        raise SystemExit(
+                            f"predict: embedding cache for {path} became "
+                            "invalid mid-run; re-run (or use "
+                            "predict.embedding_cache=write)"
+                        )
                     from batch3dmot_tpu.train.encoded import (
                         scene_encodings_cached,
                     )
@@ -1696,7 +1687,11 @@ def cmd_eval(args) -> None:
     frames = list(submission["results"].keys())
     res = evaluate_tracking(gt["boxes"], pred_boxes, frames)
     print(res.summary())
-    print(json.dumps({"amota": res.amota, "amotp": res.amotp}))
+    from batch3dmot_tpu.eval.tracking_metrics import json_safe
+
+    # json_safe: a run where no class ever matched reports NaN internally
+    # (devkit semantics); emit strict-JSON null instead of a bare NaN
+    print(json.dumps(json_safe({"amota": res.amota, "amotp": res.amotp})))
 
 
 def cmd_demo(args) -> None:

@@ -201,6 +201,31 @@ def _match_frames(
     return tp, fp, fn, ids, dist_sum, n_match, match_scores, (mt, ml, frag)
 
 
+def _unmatched_stats(gt_frames, num_gt: int) -> Dict[str, float]:
+    """Worst-case traditional metrics for a class with GT but no achieved
+    recall bin (nothing ever matched at any swept threshold): every GT box
+    is a miss and every GT track is mostly-lost."""
+    n_tracks = len({g["instance"] for v in gt_frames.values() for g in v})
+    return dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0,
+                mt=0, ml=n_tracks, frag=0, faf=0.0)
+
+
+def json_safe(obj):
+    """Recursive copy with non-finite floats replaced by None: the scorer
+    reports devkit-accurate NaN for a class that never matched (excluded
+    from the class mean, see `evaluate_tracking`), but `json.dumps`
+    serializes NaN as a bare ``NaN`` literal that strict JSON parsers
+    (jq, JSON.parse, non-Python consumers) reject — sanitize at every
+    emission boundary."""
+    if isinstance(obj, dict):
+        return {k: json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_safe(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def evaluate_tracking(
     gt_boxes: Sequence[dict],
     pred_boxes: Sequence[dict],
@@ -247,13 +272,10 @@ def evaluate_tracking(
             # np.isnan(values)): value = np.nan`). Reporting amota = 0 here
             # instead (the pre-round-5 behavior) deflates the headline vs
             # the protocol.
-            n_tracks = len({
-                g["instance"] for v in gt_frames.values() for g in v
-            })
-            per_class[cls] = dict(amota=float("nan"), amotp=float("nan"),
-                                  mota=0.0, ids=0, tp=0, fp=0, fn=num_gt,
-                                  recall=0.0, mt=0, ml=n_tracks, frag=0,
-                                  faf=0.0)
+            per_class[cls] = dict(
+                amota=float("nan"), amotp=float("nan"),
+                **_unmatched_stats(gt_frames, num_gt),
+            )
             continue
 
         # Thresholds are interpolated at the target recalls over the
@@ -320,11 +342,7 @@ def evaluate_tracking(
             motas = np.array([b["mota"] for b in bins])
             best = bins[int(np.argmax(motas))]
         else:
-            n_tracks = len({
-                g["instance"] for v in gt_frames.values() for g in v
-            })
-            best = dict(mota=0.0, ids=0, tp=0, fp=0, fn=num_gt, recall=0.0,
-                        mt=0, ml=n_tracks, frag=0, faf=0.0)
+            best = _unmatched_stats(gt_frames, num_gt)
         entry.update(best)
         per_class[cls] = entry
 

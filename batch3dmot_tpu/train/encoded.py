@@ -109,6 +109,59 @@ def _encoder_digest(model, variables) -> str:
     return pytree_digest(subtrees)
 
 
+def store_detection_count(store_path: str) -> Optional[int]:
+    """Detection-row count from the store's metadata sidecar
+    (``<scene>_metadata.json``, one entry per detection — written by
+    ``save_scene_graphs``). None when the store has no readable sidecar
+    (non-CLI callers with custom scene loaders)."""
+    import json
+
+    meta_path = store_path.replace(".b3d", "_metadata.json")
+    try:
+        with open(meta_path) as f:
+            return len(json.load(f))
+    except Exception:
+        return None
+
+
+def probe_scene_encoding_cache(
+    store_path: str, digest: str, expected_rows: Optional[int] = None,
+    load: bool = True,
+):
+    """Validity probe for ``<store>.enc.npz``: the cache must exist, be
+    readable, carry this encoder ``digest``, and (when the store's row
+    count is known) agree with it — the digest keys the ENCODERS only, so
+    a store rebuilt in place at a different density would otherwise
+    silently misalign every row. Returns the encoding dict (``load=True``)
+    or ``True`` (``load=False``, a cheap header/key check that does not
+    materialize arrays); ``None`` when absent or invalid. Stale/unreadable
+    caches are reported loudly — every consumer (training recompute,
+    predict raw-path fallback) wants the operator to know."""
+    cache_path = f"{store_path}.enc.npz"
+    if not os.path.exists(cache_path):
+        return None
+    try:
+        with np.load(cache_path, allow_pickle=False) as z:
+            if str(z["digest"]) != digest:
+                return None
+            if expected_rows is not None and len(z["x_img"]) != expected_rows:
+                print(
+                    f"encodings: ignoring stale embedding cache {cache_path} "
+                    f"({len(z['x_img'])} rows vs {expected_rows} store "
+                    "detections — the store was rebuilt in place)"
+                )
+                return None
+            return {k: z[k] for k in ENC_KEYS} if load else True
+    except Exception as e:
+        # corrupt/foreign npz: writes are atomic (os.replace) but the
+        # disk is not trusted
+        print(
+            f"encodings: ignoring unreadable embedding cache {cache_path} "
+            f"({e})"
+        )
+        return None
+
+
 def scene_encodings_cached(
     model, variables, store_path: str, scene_loader, cache: bool = True,
     digest: Optional[str] = None, expected_rows: Optional[int] = None,
@@ -121,24 +174,20 @@ def scene_encodings_cached(
 
     ``digest``: pass the precomputed encoder digest when calling per scene —
     recomputing it here costs a device fetch per call. ``expected_rows``:
-    the store's detection count when the caller knows it; a digest-matching
-    cache with a different row count (the store was rebuilt in place, e.g.
-    at a different density) is stale and recomputed, not trusted."""
+    the store's detection count; defaults to the metadata sidecar's row
+    count so EVERY caller (streaming training, dedup materialization,
+    predict cache-write) rejects a digest-matching cache whose row count
+    disagrees — a store rebuilt in place (e.g. at a different density)
+    is recomputed, not trusted."""
     if digest is None:
         digest = _encoder_digest(model, variables)
+    if expected_rows is None:
+        expected_rows = store_detection_count(store_path)
+    if cache:
+        hit = probe_scene_encoding_cache(store_path, digest, expected_rows)
+        if hit is not None:
+            return hit
     cache_path = f"{store_path}.enc.npz"
-    if cache and os.path.exists(cache_path):
-        # an unreadable cache (corrupt/foreign npz) recomputes + rewrites:
-        # writes are atomic (os.replace) but the disk is not trusted
-        try:
-            with np.load(cache_path, allow_pickle=False) as z:
-                if str(z["digest"]) == digest and (
-                    expected_rows is None
-                    or len(z["x_img"]) == expected_rows
-                ):
-                    return {k: z[k] for k in ENC_KEYS}
-        except Exception:
-            pass
     scene = scene_loader(store_path)
     enc = precompute_scene_encodings(model, variables, scene)
     if cache:

@@ -183,7 +183,9 @@ def run(a):
                 "loss": round(r.get("train/loss", float("nan")), 6),
                 "epoch_s": round(r.get("epoch_time_s", float("nan")), 2),
             })
-    out = {
+    from batch3dmot_tpu.eval.tracking_metrics import json_safe
+
+    out = json_safe({
         "walls_s": walls,
         "best_epoch": epoch,
         "best_val_ap": val_ap,
@@ -193,7 +195,7 @@ def run(a):
         "compiled_programs": cache_count(),
         "peak_rss_gb": round(rss_gb(), 2),
         "curve": curve,
-    }
+    })
     with open(os.path.join(tmp, "convergence_summary.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("CONVERGENCE SUMMARY " + json.dumps(

@@ -98,6 +98,9 @@ def main():
         "amotp_std": round(float(amotps.std(ddof=1)), 4),
         "rescore_seed0": {str(k): round(float(v), 4) for k, v in rescore.items()},
     }
+    from batch3dmot_tpu.eval.tracking_metrics import json_safe
+
+    out = json_safe(out)
     with open(os.path.join(args.workdir, "sweep_summary.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("SWEEP SUMMARY " + json.dumps(out), flush=True)

@@ -130,3 +130,27 @@ def test_summary_renders():
     res = evaluate_tracking(gt, _perfect_preds(gt), FRAMES)
     s = res.summary()
     assert "car" in s and "AMOTA" in s
+
+
+def test_json_safe_strict_json():
+    """The NaN an all-unmatched run reports internally must serialize as
+    strict-JSON null through `json_safe` — `json.dumps` alone emits a bare
+    `NaN` literal that non-Python consumers reject (cmd_eval and the
+    convergence/sweep scripts all emit through json_safe)."""
+    import json
+
+    from batch3dmot_tpu.eval.tracking_metrics import json_safe
+
+    gt = _make_gt()
+    res = evaluate_tracking(gt, [], FRAMES)
+    assert np.isnan(res.amota)
+    payload = {"amota": res.amota, "amotp": res.amotp,
+               "per_class": res.per_class, "frames": [1.0, float("inf")]}
+    with pytest.raises(ValueError):
+        json.dumps(payload, allow_nan=False)
+    text = json.dumps(json_safe(payload), allow_nan=False)  # no raise
+    back = json.loads(text)
+    assert back["amota"] is None
+    assert back["per_class"]["car"]["amota"] is None
+    assert back["per_class"]["car"]["fn"] == len(gt)  # ints untouched
+    assert back["frames"] == [1.0, None]

@@ -369,6 +369,47 @@ def test_streaming_cache_invalidates_on_encoder_change(tmp_path):
     assert not np.allclose(e1["x_img"], e2["x_img"])
 
 
+def test_training_cache_rejects_stale_row_count(tmp_path, capsys):
+    """A digest-matching cache whose row count disagrees with the store's
+    metadata sidecar (the store was rebuilt in place at a different
+    density) must be recomputed by the TRAINING path, not consumed — the
+    dedup/streaming batchers would otherwise silently gather misaligned
+    embedding rows. `expected_rows` defaults from the sidecar, so no
+    caller has to remember to pass it."""
+    import jax
+
+    from batch3dmot_tpu.io import load_scene_graphs
+    from batch3dmot_tpu.train.encoded import (
+        ENC_KEYS,
+        scene_encodings_cached,
+    )
+
+    paths, loader = _streaming_fixture(tmp_path, n_scenes=1)
+    model = MultimodalGNN(depth=2)
+    first = [w for w in load_scene_graphs(paths[0]) if w.num_edges > 0][0]
+    v1 = jax.jit(model.init)(jax.random.key(0), to_padded(first, *BUCKETS[0]))
+
+    e1 = scene_encodings_cached(model, v1, paths[0], loader)
+    rows = len(e1["x_img"])
+    assert rows > 1
+    # shrink every per-detection row array in place: digest still matches,
+    # rows no longer agree with the sidecar
+    cache_path = f"{paths[0]}.enc.npz"
+    with np.load(cache_path, allow_pickle=False) as z:
+        full = {k: z[k] for k in z.files}
+    np.savez(cache_path, **{
+        k: (v[:-1] if k in ENC_KEYS else v) for k, v in full.items()
+    })
+    capsys.readouterr()
+    e_again = scene_encodings_cached(model, v1, paths[0], loader)
+    assert "ignoring stale embedding cache" in capsys.readouterr().out
+    assert len(e_again["x_img"]) == rows
+    np.testing.assert_array_equal(e_again["x_img"], e1["x_img"])
+    # and the recompute rewrote a VALID cache
+    with np.load(cache_path, allow_pickle=False) as z:
+        assert len(z["x_img"]) == rows
+
+
 def test_fused_multi_step_matches_sequential():
     """K scanned optimizer steps must equal K sequential steps exactly."""
     import jax
