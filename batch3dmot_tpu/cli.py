@@ -143,7 +143,10 @@ def cmd_build_graphs(args) -> None:
         )
         if not windows:
             continue
-        save_scene_graphs(windows, out_dir, metadata=scene.metadata)
+        save_scene_graphs(
+            windows, out_dir, metadata=scene.metadata,
+            frame_tokens=scene.frame_tokens,
+        )
         total_windows += len(windows)
         total_edges += sum(w.num_edges for w in windows)
     dt = time.time() - t0
@@ -1431,7 +1434,20 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
         v = md.get("velocity")
         if v:
             vel_g[i, : len(v[:2])] = v[:2]
-    num_frames = int(frame_idx.max()) + 1 if m else 0
+    # frames sidecar (written at build time): the REAL per-frame sample
+    # tokens, covering frames with zero surviving detections — including
+    # TRAILING empty frames, which frame_idx.max() would silently drop
+    # from the submission. Legacy stores without it fall back to the
+    # detection-derived frame count + synthesized tokens.
+    frame_tokens = None
+    frames_path = path.replace(".b3d", "_frames.json")
+    if os.path.exists(frames_path):
+        with open(frames_path) as f:
+            frame_tokens = json.load(f)
+    num_frames = (
+        len(frame_tokens) if frame_tokens is not None
+        else (int(frame_idx.max()) + 1 if m else 0)
+    )
     if any("ego" not in md for md in metadata):
         raise SystemExit(
             f"{meta_path} predates the ego-pose sidecar fields; re-run "
@@ -1487,6 +1503,7 @@ def _scene_from_store(path: str, windows, with_modalities: bool = False):
         score=np.array([md["score"] for md in metadata], float),
         token_id=token_id,
         metadata=metadata,
+        frame_tokens=frame_tokens,
         img=img,
         lidar=lidar,
         radar=radar,

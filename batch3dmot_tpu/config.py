@@ -41,6 +41,12 @@ TRACKING_CLASSES: Dict[str, int] = {
 
 NUM_CLASSES = len(TRACKING_CLASSES)
 
+# shared inverse map (class id -> tracking name) — single source for the
+# weights/predict/detections consumers
+TRACKING_CLASS_NAMES: Dict[int, str] = {
+    v: k for k, v in TRACKING_CLASSES.items()
+}
+
 # nuScenes category -> tracking class (reference utils/nuscenes.py:21-44).
 CATEGORY_TO_TRACKING_NAME: Dict[str, str] = {
     "vehicle.bicycle": "bicycle",

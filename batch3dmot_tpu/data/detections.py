@@ -30,6 +30,7 @@ import numpy as np
 from batch3dmot_tpu import geometry as geo
 from batch3dmot_tpu.config import (
     GraphConstructionConfig,
+    TRACKING_CLASS_NAMES,
     TRACKING_CLASSES,
 )
 from batch3dmot_tpu.data.types import SceneDetections
@@ -166,7 +167,6 @@ def scene_from_frames(
     list of each frame.
     """
     cfg = cfg or GraphConstructionConfig()
-    id2name = {v: k for k, v in TRACKING_CLASSES.items()}
 
     instance_ids: Dict[str, int] = {}
     rows: List[dict] = []
@@ -231,7 +231,7 @@ def scene_from_frames(
             "size": np.asarray(r["wlh"]).tolist(),
             "rotation": np.asarray(r["quat_g"]).tolist(),
             "velocity": np.asarray(r["vel_g"])[:2].tolist(),
-            "category_name": id2name[r["class_id"]],
+            "category_name": TRACKING_CLASS_NAMES[r["class_id"]],
             "score": r["score"],
             "token": r["token"],
             "time": r["frame"],
@@ -284,4 +284,7 @@ def scene_from_frames(
         img=mod_col("img", None),
         lidar=mod_col("lidar", None),
         radar=mod_col("radar", None),
+        # the REAL per-frame tokens: frames whose detections were all
+        # filtered out keep their token for the submission's empty lists
+        frame_tokens=list(sample_tokens),
     )

@@ -181,6 +181,7 @@ def make_synthetic_scene(
         score=score,
         token_id=token_id,
         metadata=metadata,
+        frame_tokens=[f"{scene_token}_f{f}" for f in range(num_frames)],
         img=img,
         lidar=lidar,
         radar=radar,

@@ -46,6 +46,14 @@ class SceneDetections:
     img: Optional[np.ndarray] = None  # [M, 32, 32, 3]
     lidar: Optional[np.ndarray] = None  # [M, 128, 3]
     radar: Optional[np.ndarray] = None  # [M, 64, 4]
+    # per-FRAME sample tokens, length num_frames. Load-bearing for the
+    # submission: a frame whose detections were all filtered out (class
+    # filter / ego-radius gate / empty detector output) has no metadata
+    # row to recover its token from, yet the reference still emits an
+    # empty result list under the frame's REAL sample token
+    # (``predict.py:472-495,574``). None only for legacy stores written
+    # before the frames sidecar existed (synthetic-pattern fallback).
+    frame_tokens: Optional[List[str]] = None
 
     def __post_init__(self) -> None:
         m = len(self.frame_idx)
@@ -55,6 +63,11 @@ class SceneDetections:
         for name in ("yaw_g", "yaw_e", "class_id", "score", "token_id"):
             assert getattr(self, name).shape == (m,), name
         assert len(self.metadata) == m
+        if self.frame_tokens is not None:
+            assert len(self.frame_tokens) == self.num_frames, (
+                f"frame_tokens: {len(self.frame_tokens)} != "
+                f"{self.num_frames} frames"
+            )
 
     @property
     def num_detections(self) -> int:

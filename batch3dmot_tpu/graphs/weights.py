@@ -18,7 +18,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from batch3dmot_tpu.config import REL_FREQ_TRAIN, TRACKING_CLASSES
+from batch3dmot_tpu.config import (
+    REL_FREQ_TRAIN,
+    TRACKING_CLASS_NAMES,
+    TRACKING_CLASSES,
+)
 
 _NUM_EDGES = 5.0
 _BETA = (_NUM_EDGES - 1.0) / _NUM_EDGES
@@ -30,12 +34,12 @@ def cb_scaling_factor(class_name: str, rel_freq: Optional[Dict[str, float]] = No
 
 
 # Precomputed per-class-id weight table (index 0 unused; classes 1-indexed).
-_ID_TO_NAME = {v: k for k, v in TRACKING_CLASSES.items()}
+
 
 
 def cb_weight_table(rel_freq: Optional[Dict[str, float]] = None) -> np.ndarray:
     table = np.zeros(len(TRACKING_CLASSES) + 1, dtype=np.float32)
-    for cid, name in _ID_TO_NAME.items():
+    for cid, name in TRACKING_CLASS_NAMES.items():
         table[cid] = cb_scaling_factor(name, rel_freq)
     return table
 

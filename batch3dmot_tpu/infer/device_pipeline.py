@@ -347,7 +347,9 @@ class DeviceScenePipeline:
         )
         max_nodes = max(64, -(-max_nodes // 64) * 64)
         m_pad = max(256, -(-m // 256) * 256)
-        # detection indices ride home as f32 (exact below 2^24)
+        # the averaged-result transport packs src indices as i32 rows next
+        # to f32-bitcast score means (device_average_scores); the bound
+        # only guards against a absurdly-sized pad blowing the i32 packing
         assert m_pad < (1 << 24), m_pad
         return m_pad, real_windows, max_nodes
 
@@ -530,13 +532,26 @@ class DeviceScenePipeline:
         from batch3dmot_tpu.ops.pallas_mp import fused_supported
 
         e_cnt = max_nodes * min(self.k, max_nodes)
+        # S: the stacked scene count the group program is BUILT with (live
+        # scenes padded up to a mesh-size multiple); under shard_map each
+        # chip vmaps only its S/mesh shard, so the Pallas variant choice
+        # (grid-length-sensitive near the VMEM limit) must see the
+        # per-chip grid — the same value the guard below checks, or the
+        # routing would promise a fused group the built program then
+        # silently downgrades to the unfused vmap path.
+        S = len(live)
+        if self.mesh is not None:
+            S = -(-S // self.mesh.size) * self.mesh.size
+        chip_grid = (
+            S // self.mesh.size if self.mesh is not None else S
+        ) * num_windows
         underfills = (
             num_windows * max_nodes * e_cnt < _GROUP_WORK_CEILING
         )
         if not underfills or (
             self.fused
             and not fused_supported(
-                max_nodes, e_cnt, len(live) * num_windows, vmapped=True
+                max_nodes, e_cnt, chip_grid, vmapped=True
             )
             and fused_supported(max_nodes, e_cnt, num_windows)
         ):
@@ -552,9 +567,6 @@ class DeviceScenePipeline:
             self._prepare(scenes[i], m_pad, num_windows) for i in live
         ]
         n_live = len(prepared)
-        S = n_live
-        if self.mesh is not None:
-            S = -(-n_live // self.mesh.size) * self.mesh.size
         if S > n_live:
             # dummy scenes: fully-masked (det_mask False, parked windows)
             dummy = [np.zeros_like(a) for a in prepared[0]]
@@ -568,7 +580,7 @@ class DeviceScenePipeline:
         key = ("grp", S, m_pad, num_windows, max_nodes)
         if key not in self._compiled:
             single = self._build_fn(
-                m_pad, num_windows, max_nodes, grid_len=S * num_windows,
+                m_pad, num_windows, max_nodes, grid_len=chip_grid,
                 vmapped=True,
             )
             in_axes = (None,) + (0,) * 16

@@ -27,6 +27,7 @@ import numpy as np
 from batch3dmot_tpu.config import (
     Config,
     DEFAULT_EDGE_SCORE_THRESHOLDS,
+    TRACKING_CLASS_NAMES,
     TRACKING_CLASSES,
 )
 from batch3dmot_tpu.data.types import SceneDetections, WindowGraphArrays
@@ -690,10 +691,9 @@ def threshold_edges(
     """Keep edges whose mean score clears the per-class threshold of the
     source node's category (reference ``predict.py:231-233``)."""
     thresholds = thresholds or DEFAULT_EDGE_SCORE_THRESHOLDS
-    id2name = {v: k for k, v in TRACKING_CLASSES.items()}
     out = {}
     for (a, b), v in avg_scores.items():
-        cname = id2name[int(scene.class_id[a])]
+        cname = TRACKING_CLASS_NAMES[int(scene.class_id[a])]
         if v > thresholds[cname]:
             out[(a, b)] = v
     return out

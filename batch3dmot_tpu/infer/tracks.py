@@ -48,10 +48,11 @@ def hierarchical_clusters(
     edges_desc = sorted(pred_edges, key=lambda kv: kv[1], reverse=True)
 
     clusters: Dict[int, List[int]] = {}
-    scores: Dict[int, List[float]] = {}
     vis: Dict[int, int] = {}
     next_cluster = 0
 
+    # (the reference also tracks a per-cluster score list, but no code path
+    # ever reads it — the join condition uses only the edge score; dropped)
     for (j, i), score in edges_desc:
         cat = node_category[i]
         j_vis, i_vis = j in vis, i in vis
@@ -59,19 +60,16 @@ def hierarchical_clusters(
             cid = next_cluster
             next_cluster += 1
             clusters[cid] = [j, i]
-            scores[cid] = [score]
             vis[j] = vis[i] = cid
         elif not j_vis and i_vis:
             cid = vis[i]
             if clusters[cid][0] == i:
                 clusters[cid].insert(0, j)
-                scores[cid].insert(0, score)
                 vis[j] = cid
         elif j_vis and not i_vis:
             cid = vis[j]
             if clusters[cid][-1] == j:
                 clusters[cid].append(i)
-                scores[cid].append(score)
                 vis[i] = cid
         else:
             c0, c1 = vis[j], vis[i]
@@ -83,11 +81,9 @@ def hierarchical_clusters(
                 and score > join_thresholds[cat]
             ):
                 clusters[c0] = clusters[c0] + clusters[c1]
-                scores[c0] = scores[c0] + scores[c1]
                 for node in clusters[c1]:
                     vis[node] = c0
                 del clusters[c1]
-                del scores[c1]
 
     return [nodes for nodes in clusters.values()]
 
@@ -123,7 +119,7 @@ def interpolate_track_linear(
             yaw = float(y_a + t * dyaw)
             out.append(
                 {
-                    "sample_token": _frame_sample_token(scene, f, meta_a),
+                    "sample_token": _frame_sample_token(scene, f),
                     "translation": center.tolist(),
                     "size": size.tolist(),
                     "rotation": geo.yaw_to_quat(yaw).tolist(),
@@ -136,9 +132,14 @@ def interpolate_track_linear(
     return out
 
 
-def _frame_sample_token(scene: SceneDetections, frame: int, fallback_meta: Dict) -> str:
-    """sample_token of a frame, inferred from any detection in that frame or
-    from the scene's token pattern."""
+def _frame_sample_token(scene: SceneDetections, frame: int) -> str:
+    """sample_token of a frame. `scene.frame_tokens` is authoritative (the
+    only source that covers frames whose detections were ALL filtered out —
+    the submission must list their real token, reference
+    ``predict.py:472-495``); legacy scenes without it infer from any
+    detection in the frame, then from the synthetic token pattern."""
+    if scene.frame_tokens is not None:
+        return scene.frame_tokens[frame]
     sel = np.nonzero(scene.frame_idx == frame)[0]
     if len(sel):
         return scene.metadata[int(sel[0])]["sample_token"]
@@ -198,7 +199,7 @@ def all_scene_sample_tokens(scene: SceneDetections) -> List[str]:
     so the submission carries empty lists for them as the reference does
     (``predict.py:472-495,574``)."""
     return [
-        _frame_sample_token(scene, f, {}) for f in range(scene.num_frames)
+        _frame_sample_token(scene, f) for f in range(scene.num_frames)
     ]
 
 

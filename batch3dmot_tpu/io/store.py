@@ -75,9 +75,13 @@ def save_scene_graphs(
     out_dir: str,
     scene_token: Optional[str] = None,
     metadata: Optional[List[dict]] = None,
+    frame_tokens: Optional[List[str]] = None,
 ) -> str:
     """Write all windows of one scene to ``<scene>_len<L>.b3d`` (+ metadata
-    sidecar JSON when provided). Returns the store path."""
+    sidecar JSON when provided, + per-frame sample-token sidecar
+    ``<scene>_len<L>_frames.json`` — frames with zero surviving detections
+    have no metadata row, yet the submission must carry their REAL sample
+    token, reference ``predict.py:472-495``). Returns the store path."""
     assert windows, "no windows to save"
     scene_token = scene_token or windows[0].scene_token
     window_len = windows[0].window_len
@@ -123,6 +127,12 @@ def save_scene_graphs(
         with open(meta_tmp, "w") as f:
             json.dump(metadata, f)
         os.replace(meta_tmp, meta_path)
+    if frame_tokens is not None:
+        frames_path = path.replace(".b3d", "_frames.json")
+        frames_tmp = f"{frames_path}.tmp.{os.getpid()}"
+        with open(frames_tmp, "w") as f:
+            json.dump(list(frame_tokens), f)
+        os.replace(frames_tmp, frames_path)
 
     tmp = f"{path}.tmp.{os.getpid()}"
     try:

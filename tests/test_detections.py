@@ -1,6 +1,7 @@
 """Tests for detection loading and GT matching (rebuilt match_detections)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -167,3 +168,51 @@ def test_load_detection_results_nan_velocity(tmp_path):
     p.write_text(json.dumps(data))
     out = load_detection_results(str(p))
     assert np.isfinite(out["t"].velocity).all()
+
+
+def test_empty_frames_keep_real_sample_tokens(tmp_path):
+    """Frames whose detections were ALL filtered out (empty detector
+    output, class filter, ego-radius gate) — including TRAILING empty
+    frames — must keep their REAL sample tokens in the submission: the
+    official devkit asserts when the results keys don't exactly match the
+    split's sample tokens (reference ``predict.py:472-495,574``). Covers
+    scene_from_frames -> store round trip -> all_scene_sample_tokens."""
+    from batch3dmot_tpu.graphs import build_scene_graphs
+    from batch3dmot_tpu.infer.tracks import all_scene_sample_tokens
+    from batch3dmot_tpu.io import save_scene_graphs
+
+    # frame s1: only an out-of-radius det (gated away); frame s3 (LAST):
+    # no detections at all
+    tokens = ["s0", "s1", "s2", "s3"]
+    dets = {
+        "s0": _boxes([[10, 0]], [CAR], scores=[0.9]),
+        "s1": _boxes([[60, 0]], [CAR], scores=[0.9]),
+        "s2": _boxes([[11, 0]], [CAR], scores=[0.9]),
+    }
+    ego_t = np.zeros((4, 3))
+    ego_q = np.tile([1.0, 0, 0, 0], (4, 1))
+    scene = scene_from_frames("sc", tokens, dets, None, ego_t, ego_q)
+    assert scene.frame_tokens == tokens
+    assert scene.num_frames == 4  # trailing empty frame counted
+    assert all_scene_sample_tokens(scene) == tokens
+
+    # store round trip preserves the per-frame tokens (frames sidecar)
+    from batch3dmot_tpu.cli import _scene_from_store
+
+    windows = list(build_scene_graphs(scene, 2, GraphConstructionConfig()))
+    path = save_scene_graphs(
+        windows, str(tmp_path), scene_token="sc",
+        metadata=scene.metadata, frame_tokens=scene.frame_tokens,
+    )
+    rebuilt = _scene_from_store(path, windows)
+    assert rebuilt.frame_tokens == tokens
+    assert rebuilt.num_frames == 4
+    assert all_scene_sample_tokens(rebuilt) == tokens
+
+    # legacy store (no frames sidecar): detection-derived fallback only
+    os.remove(path.replace(".b3d", "_frames.json"))
+    legacy = _scene_from_store(path, windows)
+    assert legacy.frame_tokens is None
+    # trailing empty frame is unknowable there; present frames infer real
+    # tokens, absent MIDDLE frames synthesize the pattern token
+    assert all_scene_sample_tokens(legacy) == ["s0", "sc_f1", "s2"]
