@@ -209,7 +209,7 @@ def _load_nuscenes_scenes(cfg: Config, skip=None, split: Optional[str] = None):
                 extract_detection_modalities,
             )
 
-            img, lidar, radar = extract_detection_modalities(
+            img, lidar, radar, cam_ok = extract_detection_modalities(
                 tables, toks, dets, cfg, modalities=want
             )
         yield scene_from_frames(
@@ -218,6 +218,7 @@ def _load_nuscenes_scenes(cfg: Config, skip=None, split: Optional[str] = None):
             ego_rad_min=cfg.pointnet.ego_rad_min,
             ego_rad_max=cfg.pointnet.ego_rad_max,
             img=img, lidar=lidar, radar=radar,
+            camera_keep=cam_ok if want and "img" in want else None,
         )
 
 
@@ -1543,23 +1544,29 @@ def cmd_preprocess(args) -> None:
             json.dump(anns, f)
         n = sum(len(v) for v in anns.values())
         print(f"preprocess img: {n} annotations -> {done('img')}")
+    def _need_img_anns(kind):
+        # lidar/radar membership follows the image-annotation records
+        # (reference preprocess_{lidar,radar}.py load params.paths.image_anns)
+        if not os.path.exists(done("img")):
+            raise SystemExit(
+                f"{kind} preprocessing needs processed_img_anns.json "
+                "(dataset membership + camera->radar channels); run "
+                "`preprocess --modality img` first"
+            )
+        with open(done("img")) as f:
+            return json.load(f)
+
     if "lidar" in wanted and not (skip and os.path.exists(done("lidar"))):
         anns = preprocess_lidar_annotations(
-            tables, os.path.join(pre, "lidar"), cfg, splits_json=sj
+            tables, os.path.join(pre, "lidar"), _need_img_anns("lidar"),
+            cfg, splits_json=sj,
         )
         with open(done("lidar"), "w") as f:
             json.dump(anns, f)
         n = sum(len(v) for v in anns.values())
         print(f"preprocess lidar: {n} annotations -> {done('lidar')}")
     if "radar" in wanted and not (skip and os.path.exists(done("radar"))):
-        # radar needs the per-annotation camera channel from the img stage
-        if not os.path.exists(done("img")):
-            raise SystemExit(
-                "radar preprocessing needs processed_img_anns.json for the "
-                "camera->radar channel map; run `preprocess --modality img` first"
-            )
-        with open(done("img")) as f:
-            img_anns = json.load(f)
+        img_anns = _need_img_anns("radar")
         anns = preprocess_radar_annotations(
             tables, os.path.join(pre, "radar"), img_anns, cfg, splits_json=sj
         )

@@ -77,9 +77,15 @@ def load_detection_results(
             continue
         # real detection JSONs carry NaN velocities for some boxes (stationary
         # or unestimated) — NaN would poison the weighted kNN distances
+        # `or`: an explicit JSON `"velocity": null` (real detector JSONs
+        # emit it) must read as zero like a missing field — validate-data
+        # already classifies both as "no velocity (treated as zero)"
         vel = np.nan_to_num(
             np.array(
-                [list(b.get("velocity", (0.0, 0.0)))[:2] + [0.0] for b in rows],
+                [
+                    list(b.get("velocity") or (0.0, 0.0))[:2] + [0.0]
+                    for b in rows
+                ],
                 dtype=float,
             )
         )
@@ -156,6 +162,7 @@ def scene_from_frames(
     img: Optional[Dict[str, np.ndarray]] = None,
     lidar: Optional[Dict[str, np.ndarray]] = None,
     radar: Optional[Dict[str, np.ndarray]] = None,
+    camera_keep: Optional[Dict[str, np.ndarray]] = None,
 ) -> SceneDetections:
     """Assemble a :class:`SceneDetections` for one scene.
 
@@ -164,7 +171,11 @@ def scene_from_frames(
     detections to GT per frame, and converts boxes to the ego frame for the
     pose features. Optional per-sample modality arrays (from the modality
     feature extractors) are index-aligned with the *unfiltered* detection
-    list of each frame.
+    list of each frame. ``camera_keep`` (the ``cam_ok`` dict from
+    ``extract_detection_modalities``, same alignment) drops detections
+    whose box projects into no camera canvas — the reference omits them
+    from the graph when the camera sensor is in use
+    (``construct...parallel.py:231-236``).
     """
     cfg = cfg or GraphConstructionConfig()
 
@@ -194,6 +205,8 @@ def scene_from_frames(
         )
         radius = np.linalg.norm(c_e[:, :2], axis=1)
         keep = (radius > ego_rad_min) & (radius < ego_rad_max)
+        if camera_keep is not None and tok in camera_keep:
+            keep &= np.asarray(camera_keep[tok], bool)
 
         yaw_g = geo.quaternion_yaw(dets.quat)
         yaw_e = geo.quaternion_yaw(q_e)

@@ -228,9 +228,17 @@ def augment_box(
 
 
 def load_lidar_bin(path: str) -> np.ndarray:
-    """nuScenes lidar .pcd.bin: float32 (x, y, z, intensity, ring) -> [5, N]."""
+    """nuScenes lidar .pcd.bin -> [4, N] (x, y, z, intensity).
+
+    The file stores 5 floats/point but the devkit's ``LidarPointCloud``
+    keeps only 4 (``from_file``: ``reshape(-1, 5)[:, :4]`` — the ring
+    index is dropped), and the reference masks/normalizes that 4-row
+    cloud (``construct...parallel.py:278-301``). Keeping the ring row
+    would skew ``reference_normalize``'s channel-mixing math (the
+    per-point mean divides by the channel count and ring values 0-31 can
+    win the max-norm scale) on every real cloud."""
     raw = np.fromfile(path, dtype=np.float32)
-    return raw.reshape(-1, 5).T
+    return raw.reshape(-1, 5)[:, :4].T
 
 
 def load_radar_pcd(path: str) -> np.ndarray:
@@ -242,7 +250,13 @@ def load_radar_pcd(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header: Dict[str, List[str]] = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA: truncated/corrupt header
+                raise ValueError(
+                    f"{path}: PCD header ended without a DATA line "
+                    "(truncated or corrupt file)"
+                )
+            line = raw_line.decode("ascii", errors="replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, *vals = line.split()
@@ -278,6 +292,37 @@ def load_radar_pcd(path: str) -> np.ndarray:
     return np.stack(
         [arr[name].astype(np.float32) for name in dtype.names], axis=0
     )
+
+
+def radar_devkit_filter(
+    points: np.ndarray,
+    invalid_states=(0,),
+    dynprop_states=tuple(range(7)),
+    ambig_states=(3,),
+) -> np.ndarray:
+    """The devkit ``RadarPointCloud.from_file`` default state filtering,
+    applied per sweep by the reference's radar multisweep (its
+    ``RadarPointCloudWithVelocity.from_file_multisweep`` calls the
+    inherited ``from_file``, ``utils/radar.py:77``): keep returns with
+    invalid_state in {0}, dyn_prop in 0..6, ambig_state == 3 (stationary
+    ambiguity resolved). Real .pcd files carry ghost/invalid returns that
+    these drop; field indices follow the 18-field nuScenes radar layout
+    (3 = dyn_prop, 11 = ambig_state, 14 = invalid_state)."""
+    if points.shape[0] < 15:  # non-nuScenes layout (tests/synthetic): no-op
+        return points
+    keep = (
+        np.isin(points[14], invalid_states)
+        & np.isin(points[3], dynprop_states)
+        & np.isin(points[11], ambig_states)
+    )
+    return points[:, keep]
+
+
+def load_radar_pcd_filtered(path: str) -> np.ndarray:
+    """``load_radar_pcd`` + the devkit's default state filtering — the
+    per-sweep loader the radar pipelines use (parity with the reference's
+    ``from_file`` call in ``from_file_multisweep``)."""
+    return radar_devkit_filter(load_radar_pcd(path))
 
 
 def remove_close(points: np.ndarray, min_distance: float = 1.0) -> np.ndarray:

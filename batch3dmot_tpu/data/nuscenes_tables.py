@@ -139,6 +139,10 @@ class NuScenesTables:
         pos_last = np.array(last["translation"])
         t_first = 1e-6 * self.get("sample", first["sample_token"])["timestamp"]
         t_last = 1e-6 * self.get("sample", last["sample_token"])["timestamp"]
+        # devkit NuScenes.box_velocity: a centered difference (both
+        # neighbors exist) allows up to DOUBLE the max time gap
+        if has_prev and has_next:
+            max_time_diff *= 2
         if t_last - t_first > max_time_diff:
             return np.array([np.nan, np.nan, np.nan])
         return (pos_last - pos_first) / max(t_last - t_first, 1e-6)
@@ -215,6 +219,18 @@ class NuScenesTables:
         """
         lists = self.split_scene_lists(splits_json)
         if set(lists) == {"all"}:
+            # the single-split fallback is safe only for small/fabricated
+            # datasets: silently returning ALL 850 trainval scenes for a
+            # requested 'val' would score ~700 sceneless-in-the-JSON
+            # scenes as pure misses instead of erroring
+            if self.version in ("v1.0-trainval", "v1.0-test"):
+                raise KeyError(
+                    f"split '{split}' of {self.version} requires the "
+                    "official scene lists: install nuscenes-devkit or set "
+                    "paths.splits_json to a {split: [scene names]} JSON "
+                    "(see docs/RUNBOOK.md) — refusing the all-scenes "
+                    "fallback at this dataset scale"
+                )
             return lists["all"]
         if self.version == "v1.0-mini" and not split.startswith("mini"):
             split = f"mini_{split}"

@@ -87,7 +87,18 @@ def generate_image_annotations(
     """Split-keyed processed image annotations (the reference's
     ``processed_img_anns.json`` contract: filename, bbox_corners,
     category_name, sample_annotation_token, visibility_token,
-    ann_ego_radius)."""
+    ann_ego_radius).
+
+    One entry per (annotation, camera) pair, like the devkit's
+    ``export_2d_annotations_as_json`` the reference feeds to ALL THREE
+    preprocessors (``preprocess_{img,lidar,radar}.py`` each load
+    ``params.paths.image_anns``): an annotation visible in two cameras
+    contributes two crops (and duplicate lidar/radar entries downstream),
+    one visible in no camera is absent from every encoder dataset.
+    Camera membership is the devkit's ``box_in_image(BoxVisibility.ANY)``
+    (>= 1 corner visible with z > 1, ALL corners z > 0.1); the table's
+    official ``num_lidar_pts``/``num_radar_pts`` ride on each entry (the
+    devkit export copies them) for the load-time count filters."""
     cfg = cfg or Config()
     splits = tables.split_scene_lists(splits_json)
     out: Dict[str, List[dict]] = {s: [] for s in splits}
@@ -107,47 +118,90 @@ def generate_image_annotations(
             center[None], quat[None], np.zeros((1, 3)), ego_t, ego_q
         )
         cams = _cameras_of_sample(tables, sample_token)
-        if not cams:
-            continue
-        cam_idx, vis = mod.select_camera(c_e[0], wlh, q_e[0], cams)
-        cam = cams[cam_idx]
-        coords = mod.crop_coords_for_box(c_e[0], wlh, q_e[0], cam)
-        if coords is None or vis == 0:
-            continue
-        entry = {
-            "sample_annotation_token": ann["token"],
-            "sample_token": sample_token,
-            "filename": cam["filename"],
-            "camera_channel": cam["channel"],
-            "bbox_corners": list(coords),
-            "category_name": cat,
-            "visibility_token": ann.get("visibility_token", "4"),
-            "ann_ego_radius": radius,
-        }
         scene_tok = tables.get("sample", sample_token)["scene_token"]
-        for split in _split_of_scene(tables, scene_tok, splits):
-            out[split].append(entry)
+        ann_splits = _split_of_scene(tables, scene_tok, splits)
+        for cam in cams:
+            c, q = mod.box_to_camera_frame(
+                c_e[0], wlh, q_e[0], cam["cs_translation"], cam["cs_rotation"]
+            )
+            corners = geo.box_corners(c, wlh, q)
+            vis, in_front = geo.count_box_corners_in_image(
+                corners, cam["intrinsic"], cam["imsize"]
+            )
+            if vis < 1 or in_front < 8:  # BoxVisibility.ANY
+                continue
+            coords = mod.crop_coords_for_box(c_e[0], wlh, q_e[0], cam)
+            if coords is None:
+                continue
+            entry = {
+                "sample_annotation_token": ann["token"],
+                "sample_token": sample_token,
+                "filename": cam["filename"],
+                "camera_channel": cam["channel"],
+                "bbox_corners": list(coords),
+                "category_name": cat,
+                "visibility_token": ann.get("visibility_token", "4"),
+                "ann_ego_radius": radius,
+                # official table counts (may be absent on fabricated
+                # minimal tables; downstream falls back to masked counts)
+                "num_lidar_pts": ann.get("num_lidar_pts"),
+                "num_radar_pts": ann.get("num_radar_pts"),
+            }
+            for split in ann_splits:
+                out[split].append(entry)
     return out
+
+
+def _img_records_by_ann(
+    img_anns: Dict[str, List[dict]]
+) -> "Dict[str, List[Tuple[str, dict]]]":
+    """(split, entry) image-annotation records grouped by annotation token —
+    lidar/radar dataset membership follows the image annotations (the
+    reference preprocessors all iterate ``params.paths.image_anns``), so a
+    camera-invisible annotation is absent from every modality and a
+    two-camera annotation contributes two entries."""
+    by_ann: Dict[str, List[Tuple[str, dict]]] = {}
+    for split, entries in img_anns.items():
+        for e in entries:
+            by_ann.setdefault(e["sample_annotation_token"], []).append(
+                (split, e)
+            )
+    return by_ann
 
 
 def preprocess_lidar_annotations(
     tables: NuScenesTables,
     out_dir: str,
+    img_anns: Dict[str, List[dict]],
     cfg: Optional[Config] = None,
     splits_json: Optional[str] = None,
 ) -> Dict[str, List[dict]]:
     """Masked per-annotation lidar clouds -> ``<ann_token>.npy`` (un-augmented,
-    deterministic) + split-keyed metadata entries."""
+    deterministic) + split-keyed metadata entries.
+
+    Membership mirrors the reference (``preprocess_lidar.py:84-215``):
+    iterate the IMAGE annotation records, pre-gate on the table's official
+    ``num_lidar_pts >= min_lidar_pts`` (the load-time filter then applies
+    the reference's stricter ``>``), and emit one entry per image record
+    (multi-camera annotations duplicate, camera-invisible ones are
+    absent). The masked cloud itself is computed once per annotation."""
     cfg = cfg or Config()
     os.makedirs(out_dir, exist_ok=True)
     splits = tables.split_scene_lists(splits_json)
     out: Dict[str, List[dict]] = {s: [] for s in splits}
+    by_ann = _img_records_by_ann(img_anns)
 
     for ann in tables.table("sample_annotation"):
+        recs = by_ann.get(ann["token"])
+        if not recs:
+            continue  # not camera-visible: absent from every dataset
         inst = tables.get("instance", ann["instance_token"])
         cat = tables.get("category", inst["category_token"])["name"]
         if CATEGORY_TO_TRACKING_NAME.get(cat) is None:
             continue
+        table_pts = ann.get("num_lidar_pts")
+        if table_pts is not None and table_pts < cfg.pointnet.min_lidar_pts:
+            continue  # reference preprocess gate (official table count)
         sample_token = ann["sample_token"]
         pts = mod.multisweep_points(
             tables,
@@ -174,12 +228,17 @@ def preprocess_lidar_annotations(
             "sample_annotation_token": ann["token"],
             "sample_token": sample_token,
             "category_name": cat,
-            "num_lidar_pts": int(masked.shape[1]),
+            # official table count when present (the reference's load-time
+            # filter reads it); masked multisweep count on fabricated
+            # tables without the field
+            "num_lidar_pts": (
+                int(table_pts) if table_pts is not None
+                else int(masked.shape[1])
+            ),
             "ann_ego_radius": radius,
         }
-        scene_tok = tables.get("sample", sample_token)["scene_token"]
-        for split in _split_of_scene(tables, scene_tok, splits):
-            out[split].append(entry)
+        for split, _e in recs:
+            out[split].append(dict(entry))
     return out
 
 
@@ -190,72 +249,90 @@ def preprocess_radar_annotations(
     cfg: Optional[Config] = None,
     splits_json: Optional[str] = None,
 ) -> Dict[str, List[dict]]:
-    """Per-annotation radar vectors via the camera->radar channel map of the
-    annotation's best camera (reference ``preprocess_radar.py``)."""
+    """Per-annotation radar vectors via the camera->radar channel map of
+    each image-annotation record's camera (reference
+    ``preprocess_radar.py:85-96``: the channel comes from the record's
+    ``filename``, one record per visible camera; the ``.npy`` is keyed by
+    annotation token alone, so with multiple records the LAST processed
+    camera's cloud is what persists — replicated here, entries duplicate
+    per record)."""
     cfg = cfg or Config()
     os.makedirs(out_dir, exist_ok=True)
     splits = tables.split_scene_lists(splits_json)
     out: Dict[str, List[dict]] = {s: [] for s in splits}
-
-    cam_of_ann = {
-        e["sample_annotation_token"]: e.get("camera_channel", "CAM_FRONT")
-        for entries in img_anns.values()
-        for e in entries
-    }
+    by_ann = _img_records_by_ann(img_anns)
 
     for ann in tables.table("sample_annotation"):
+        recs = by_ann.get(ann["token"])
+        if not recs:
+            continue  # not camera-visible: absent from every dataset
         inst = tables.get("instance", ann["instance_token"])
         cat = tables.get("category", inst["category_token"])["name"]
         if CATEGORY_TO_TRACKING_NAME.get(cat) is None:
             continue
-        channel = cam_of_ann.get(ann["token"])
-        if channel is None:
-            continue
+        table_pts = ann.get("num_radar_pts")
+        if (
+            table_pts is not None
+            and table_pts < cfg.radarnet.min_radar_pts
+        ):
+            continue  # reference preprocess gate (official table count)
         sample_token = ann["sample_token"]
-        chunks = []
-        for radar_channel in mod.CAM_TO_RADAR[channel]:
-            try:
-                chunks.append(
-                    mod.multisweep_points(
-                        tables,
-                        sample_token,
-                        radar_channel,
-                        cfg.preprocessing.nsweeps_radar,
-                        mod.load_radar_pcd,
-                        rotate_velocity_rows=(8, 9),
-                    )
-                )
-            except KeyError:
-                continue  # channel absent from this sample
-        if not chunks:
-            continue
-        pts = np.concatenate(chunks, axis=1)
-        ref_sd = tables.sample_lidar_sd(sample_token)
-        cs = tables.get("calibrated_sensor", ref_sd["calibrated_sensor_token"])
-        pts_ego = mod.sensor_to_ego(pts, cs["translation"], np.array(cs["rotation"]))
-
         ego_t, ego_q = _ego_of_sample(tables, sample_token)
         center, wlh, quat = _ann_box(tables, ann)
         c_e, q_e, _ = geo.boxes_global_to_ego(
             center[None], quat[None], np.zeros((1, 3)), ego_t, ego_q
         )
-        mask = geo.points_in_box(
-            c_e[0], wlh * 1.05, q_e[0], pts_ego[0:3], ignore_z=True
-        )
-        masked = pts_ego[:, mask]
         radius = float(np.linalg.norm(center[:2] - ego_t[:2]))
 
-        np.save(os.path.join(out_dir, f"{ann['token']}.npy"), masked.astype(np.float32))
-        entry = {
-            "sample_annotation_token": ann["token"],
-            "sample_token": sample_token,
-            "category_name": cat,
-            "num_radar_pts": int(masked.shape[1]),
-            "ann_ego_radius": radius,
-        }
-        scene_tok = tables.get("sample", sample_token)["scene_token"]
-        for split in _split_of_scene(tables, scene_tok, splits):
-            out[split].append(entry)
+        masked_by_channel: Dict[str, np.ndarray] = {}
+        for split, e in recs:
+            channel = e.get("camera_channel", "CAM_FRONT")
+            if channel not in masked_by_channel:
+                chunks = []
+                for radar_channel in mod.CAM_TO_RADAR[channel]:
+                    try:
+                        chunks.append(
+                            mod.multisweep_points(
+                                tables,
+                                sample_token,
+                                radar_channel,
+                                cfg.preprocessing.nsweeps_radar,
+                                mod.load_radar_pcd_filtered,
+                                rotate_velocity_rows=(8, 9),
+                            )
+                        )
+                    except KeyError:
+                        continue  # channel absent from this sample
+                if not chunks:
+                    continue
+                pts = np.concatenate(chunks, axis=1)
+                ref_sd = tables.sample_lidar_sd(sample_token)
+                cs = tables.get(
+                    "calibrated_sensor", ref_sd["calibrated_sensor_token"]
+                )
+                pts_ego = mod.sensor_to_ego(
+                    pts, cs["translation"], np.array(cs["rotation"])
+                )
+                mask = geo.points_in_box(
+                    c_e[0], wlh * 1.05, q_e[0], pts_ego[0:3], ignore_z=True
+                )
+                masked_by_channel[channel] = pts_ego[:, mask]
+            masked = masked_by_channel[channel]
+            # per-record overwrite: the last record's camera wins the .npy
+            np.save(
+                os.path.join(out_dir, f"{ann['token']}.npy"),
+                masked.astype(np.float32),
+            )
+            out[split].append({
+                "sample_annotation_token": ann["token"],
+                "sample_token": sample_token,
+                "category_name": cat,
+                "num_radar_pts": (
+                    int(table_pts) if table_pts is not None
+                    else int(masked.shape[1])
+                ),
+                "ann_ego_radius": radius,
+            })
     return out
 
 
@@ -275,11 +352,20 @@ def extract_detection_modalities(
     the per-sample heavy work (multisweep accumulation, image decode) is
     done once per frame and shared across that frame's boxes.
 
-    Returns ``(img, lidar, radar)`` dicts keyed by sample token with arrays
-    aligned to the *unfiltered* detection list of each frame
-    ([K, 32, 32, 3], [K, 128, 3], [K, 64, 4]) — the alignment contract of
-    :func:`batch3dmot_tpu.data.detections.scene_from_frames`. Modalities not
-    requested map to None.
+    Returns ``(img, lidar, radar, cam_ok)`` dicts keyed by sample token
+    with arrays aligned to the *unfiltered* detection list of each frame
+    ([K, 32, 32, 3], [K, 128, 3], [K, 64, 4], bool [K]) — the alignment
+    contract of :func:`batch3dmot_tpu.data.detections.scene_from_frames`.
+    Modalities not requested map to None; ``cam_ok`` is None unless img is
+    requested. ``cam_ok[i]`` False marks a detection whose projected
+    corner hull misses every camera canvas — the reference OMITS such
+    detections from the graph entirely ("Detection omitted",
+    ``construct...parallel.py:231-236``), it does not keep them with a
+    zero crop; pass ``cam_ok`` to ``scene_from_frames(camera_keep=...)``
+    to replicate. The crop itself is attempted whenever the hull
+    intersects the canvas, even with ZERO individually-visible corners (a
+    close large object): corner visibility picks the camera, the hull
+    decides the crop (reference ``:214-238``).
     """
     from PIL import Image
 
@@ -291,11 +377,13 @@ def extract_detection_modalities(
     img_out: Optional[Dict[str, np.ndarray]] = {} if want_img else None
     lidar_out: Optional[Dict[str, np.ndarray]] = {} if want_lidar else None
     radar_out: Optional[Dict[str, np.ndarray]] = {} if want_radar else None
+    cam_ok_out: Optional[Dict[str, np.ndarray]] = {} if want_img else None
     res = cfg.preprocessing.res_size
 
     for tok in sample_tokens:
         dets = detections.get(tok)
         k = len(dets) if dets is not None else 0
+        cam_ok = np.ones(k, bool)
         # uint8 crops: lossless (PIL resize output is uint8), 4x smaller on
         # disk and over the host->device relay; /255 happens on device
         imgs = np.zeros((k, res, res, 3), np.uint8)
@@ -333,12 +421,19 @@ def extract_detection_modalities(
                     if cams
                     else (None, 0)
                 )
-                if want_img and vis > 0:
+                if want_img and cams:
+                    # corner visibility picks the camera; the projected
+                    # hull decides the crop (it can intersect the canvas
+                    # with zero individually-visible corners). A hull that
+                    # misses every canvas marks the detection OMITTED —
+                    # the reference drops it from the graph, not zero-fills
                     cam = cams[cam_idx]
                     coords = mod.crop_coords_for_box(
                         c_e[i], dets.wlh[i], q_e[i], cam
                     )
-                    if coords is not None:
+                    if coords is None:
+                        cam_ok[i] = False
+                    else:
                         fname = cam["filename"]
                         if fname not in image_cache:
                             image_cache[fname] = np.asarray(
@@ -366,7 +461,7 @@ def extract_detection_modalities(
                                     mod.multisweep_points(
                                         tables, tok, rc,
                                         cfg.preprocessing.nsweeps_radar,
-                                        mod.load_radar_pcd,
+                                        mod.load_radar_pcd_filtered,
                                         rotate_velocity_rows=(8, 9),
                                     )
                                 )
@@ -394,11 +489,12 @@ def extract_detection_modalities(
                         rads[i] = feat.T
         if want_img:
             img_out[tok] = imgs
+            cam_ok_out[tok] = cam_ok
         if want_lidar:
             lidar_out[tok] = lids
         if want_radar:
             radar_out[tok] = rads
-    return img_out, lidar_out, radar_out
+    return img_out, lidar_out, radar_out, cam_ok_out
 
 
 # ---------------------------------------------------------------------------

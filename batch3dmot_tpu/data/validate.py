@@ -495,7 +495,14 @@ def validate_config_data(cfg: Config, split: Optional[str] = None) -> List[Findi
     splits membership, and the detection JSON the configured detector/split
     resolves to (the same resolution the build/predict CLIs use)."""
     findings = validate_tables(cfg.paths.data, cfg.main.version)
-    if any(f.level == "error" and f.where.startswith("tables") for f in findings):
+    # stop on ANY table-layer error ('dataroot' included: with a wrong
+    # paths.data everything downstream would cascade into split/JSON noise
+    # burying the one actionable finding)
+    if any(
+        f.level == "error"
+        and (f.where.startswith("tables") or f.where.startswith("dataroot"))
+        for f in findings
+    ):
         return findings
 
     # scene names for splits consistency
@@ -511,6 +518,23 @@ def validate_config_data(cfg: Config, split: Optional[str] = None) -> List[Findi
         findings += validate_splits_json(
             cfg.paths.splits_json, scene_names, split=split
         )
+    elif cfg.main.version in ("v1.0-trainval", "v1.0-test"):
+        # without the devkit or a splits JSON, scene_metas_for_split
+        # REFUSES trainval/test-scale runs (nuscenes_tables.py) rather
+        # than walking all 850 scenes for any requested split — surface
+        # that before the run does
+        try:
+            from nuscenes.utils.splits import create_splits_scenes  # noqa: F401
+        except ImportError:
+            findings.append(
+                _err(
+                    "splits",
+                    f"{cfg.main.version} needs official scene lists: no "
+                    "nuscenes-devkit on this machine and paths.splits_json "
+                    "is unset — build/predict will refuse to resolve "
+                    f"split '{split}'",
+                )
+            )
 
     split_key = "mini" if cfg.main.version == "v1.0-mini" else split
     det_rel = (

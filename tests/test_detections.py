@@ -216,3 +216,35 @@ def test_empty_frames_keep_real_sample_tokens(tmp_path):
     # trailing empty frame is unknowable there; present frames infer real
     # tokens, absent MIDDLE frames synthesize the pattern token
     assert all_scene_sample_tokens(legacy) == ["s0", "sc_f1", "s2"]
+
+
+def test_null_velocity_reads_as_zero(tmp_path):
+    """Real detector JSONs emit explicit `"velocity": null` — it must read
+    as zero like a missing field (validate-data classifies both as
+    'treated as zero'), not crash list(None)."""
+    data = {"results": {"tok1": [{
+        "sample_token": "tok1", "translation": [1, 2, 0.5],
+        "size": [2, 4, 1.5], "rotation": [1, 0, 0, 0],
+        "velocity": None, "detection_name": "car", "detection_score": 0.8,
+    }]}}
+    p = tmp_path / "dets.json"
+    p.write_text(json.dumps(data))
+    out = load_detection_results(str(p))
+    np.testing.assert_allclose(out["tok1"].velocity[0], [0, 0, 0])
+
+
+def test_camera_keep_drops_detections():
+    """camera_keep (extract_detection_modalities' cam_ok) removes
+    detections whose box projects into no camera — the reference omits
+    them from the graph entirely ('Detection omitted',
+    construct...parallel.py:231-236)."""
+    tokens = ["s0"]
+    dets = {"s0": _boxes([[10, 0], [20, 0]], [CAR, CAR], scores=[0.9, 0.8])}
+    ego_t = np.zeros((1, 3))
+    ego_q = np.tile([1.0, 0, 0, 0], (1, 1))
+    keep = {"s0": np.array([True, False])}
+    scene = scene_from_frames(
+        "sc", tokens, dets, None, ego_t, ego_q, camera_keep=keep
+    )
+    assert scene.num_detections == 1
+    np.testing.assert_allclose(scene.center_g[0], [10, 0, 0])

@@ -142,15 +142,15 @@ def test_augment_box_ranges():
 
 
 def test_load_lidar_bin(tmp_path):
-    pts = np.arange(20, dtype=np.float32).reshape(4, 5)
     path = tmp_path / "sweep.pcd.bin"
-    pts.T.astype(np.float32).tofile(path)  # [N, 5] layout on disk
-    # write as N rows of 5 floats
+    # write as N rows of 5 floats (x, y, z, intensity, ring)
     arr = np.arange(15, dtype=np.float32).reshape(3, 5)
     arr.tofile(path)
     out = mod.load_lidar_bin(str(path))
-    assert out.shape == (5, 3)
-    np.testing.assert_allclose(out[:, 0], arr[0])
+    # devkit LidarPointCloud keeps 4 channels — the ring row is dropped
+    # (it would skew reference_normalize's channel-mixing math)
+    assert out.shape == (4, 3)
+    np.testing.assert_allclose(out[:, 0], arr[0][:4])
 
 
 def test_load_radar_pcd_binary(tmp_path):
@@ -282,3 +282,66 @@ def test_tables_split_fallback(tmp_path):
     splits2 = t.split_scene_lists(str(sj))
     assert len(splits2["mini_train"]) == 1
     assert splits2["mini_val"] == []
+
+
+def test_radar_devkit_filter():
+    """Devkit RadarPointCloud.from_file default state filtering (the
+    reference's per-sweep loader inherits it): keep invalid_state 0,
+    dyn_prop 0..6, ambig_state 3 — on the 18-field nuScenes layout."""
+    pts = np.zeros((18, 5), np.float32)
+    pts[0] = np.arange(5)  # x, to identify survivors
+    pts[14] = [0, 1, 0, 0, 0]   # invalid_state: point 1 dropped
+    pts[3] = [0, 0, 7, 2, 3]    # dyn_prop: point 2 dropped
+    pts[11] = [3, 3, 3, 2, 3]   # ambig_state: point 3 dropped
+    out = mod.radar_devkit_filter(pts)
+    assert out[0].tolist() == [0.0, 4.0]
+    # non-nuScenes layouts (fewer fields) pass through untouched
+    small = np.ones((5, 4), np.float32)
+    assert mod.radar_devkit_filter(small) is small
+
+
+def test_load_radar_pcd_truncated_header_raises(tmp_path):
+    """A .pcd whose header ends before the DATA line must raise, not spin
+    forever at EOF."""
+    p = tmp_path / "trunc.pcd"
+    p.write_bytes(b"# .PCD v0.7\nVERSION 0.7\nFIELDS x y\n")
+    with pytest.raises(ValueError, match="DATA line"):
+        mod.load_radar_pcd(str(p))
+
+
+def test_box_velocity_centered_difference_doubles_gate(tmp_path):
+    """Devkit NuScenes.box_velocity allows up to DOUBLE max_time_diff for a
+    centered difference (prev AND next both present): a 2.0 s prev->next
+    gap yields a finite velocity, not NaN."""
+    root = tmp_path / "nusc"
+    tdir = root / "v1.0-mini"
+    os.makedirs(tdir)
+    samples = [
+        {"token": f"s{i}", "timestamp": 1_000_000 * i, "scene_token": "sc"}
+        for i in range(3)
+    ]
+    anns = [
+        {"token": f"a{i}", "sample_token": f"s{i}",
+         "instance_token": "inst", "translation": [2.0 * i, 0.0, 0.0],
+         "size": [1, 1, 1], "rotation": [1, 0, 0, 0],
+         "prev": f"a{i-1}" if i > 0 else "",
+         "next": f"a{i+1}" if i < 2 else ""}
+        for i in range(3)
+    ]
+    for name, rows in (("sample", samples), ("sample_annotation", anns)):
+        with open(tdir / f"{name}.json", "w") as f:
+            json.dump(rows, f)
+    for name in ("scene", "sample_data", "ego_pose", "calibrated_sensor",
+                 "sensor", "instance", "category"):
+        with open(tdir / f"{name}.json", "w") as f:
+            json.dump([], f)
+    tables = NuScenesTables(str(root), "v1.0-mini")
+    # centered difference: s0 -> s2 spans 2.0 s (> 1.5, <= 3.0): finite
+    v = tables.box_velocity(tables.get("sample_annotation", "a1"))
+    np.testing.assert_allclose(v, [2.0, 0.0, 0.0])
+    # one-sided difference keeps the 1.5 s gate: a0 -> a1 spans 1.0 s ok,
+    # but with max_time_diff 0.5 it's NaN
+    v2 = tables.box_velocity(
+        tables.get("sample_annotation", "a0"), max_time_diff=0.5
+    )
+    assert np.isnan(v2).all()

@@ -22,7 +22,11 @@ def fab(tmp_path_factory):
     root = make_fab_dataset(tmp_path_factory.mktemp("nusc_e2e"), num_samples=6)
 
     # detection JSON in nuScenes submission format: per sample one detection
-    # near the GT car + one far false positive
+    # near the GT car + one far false positive. The FP must project into
+    # the (single, forward-facing) fab camera: camera-invisible detections
+    # are OMITTED from the graph like the reference drops them
+    # ("Detection omitted", construct...parallel.py:231-236) — that path
+    # has its own test (test_camera_invisible_fp_omitted below).
     results = {}
     for i in range(6):
         car_x = 10.0 + 2.0 * i
@@ -38,7 +42,7 @@ def fab(tmp_path_factory):
             },
             {
                 "sample_token": f"s{i}",
-                "translation": [car_x - 25.0, 20.0, 0.5],
+                "translation": [car_x + 15.0, 10.0, 0.5],
                 "size": [2, 4, 1.5],
                 "rotation": [1, 0, 0, 0],
                 "velocity": [0.0, 0.0],
@@ -143,3 +147,55 @@ def test_real_path_end_to_end(fab, tmp_path):
     res = evaluate_tracking(gt["boxes"], pred_boxes, gt["frames"])
     # single well-separated car track: the tracker should nail it
     assert res.per_class["car"]["amota"] > 0.5, res.summary()
+
+
+def test_camera_invisible_fp_omitted(fab, tmp_path):
+    """A detection whose box projects into NO camera (here: behind the
+    single forward-facing fab camera) is omitted from the graph when the
+    camera sensor is in use — reference parity ('Detection omitted',
+    construct...parallel.py:231-236, PARITY #29)."""
+    import yaml
+
+    det_dir = os.path.join(fab, "detections")
+    results = {}
+    for i in range(6):
+        car_x = 10.0 + 2.0 * i
+        results[f"s{i}"] = [
+            {
+                "sample_token": f"s{i}", "translation": [car_x + 0.3, 0.1, 0.5],
+                "size": [2, 4, 1.5], "rotation": [1, 0, 0, 0],
+                "velocity": [2.0, 0.0], "detection_name": "car",
+                "detection_score": 0.9,
+            },
+            {  # behind the camera: hull misses the canvas
+                "sample_token": f"s{i}", "translation": [-15.0, 2.0, 0.5],
+                "size": [2, 4, 1.5], "rotation": [1, 0, 0, 0],
+                "velocity": [0.0, 0.0], "detection_name": "car",
+                "detection_score": 0.2,
+            },
+        ]
+    with open(os.path.join(det_dir, "dets_behind.json"), "w") as f:
+        json.dump({"results": results}, f)
+
+    cfg_file = tmp_path / "cfg.json"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(
+            {
+                "main": {"version": "v1.0-mini", "detections": "megvii"},
+                "paths": {
+                    "data": str(fab), "tmp": str(tmp_path),
+                    "detections_dir": det_dir,
+                },
+                "graph_construction": {"batch_size_graph": 2, "top_knn_nodes": 3},
+                "detections": {"megvii": {"mini": "dets_behind.json"}},
+            },
+            f,
+        )
+    main(["build-graphs", "--config", str(cfg_file)])
+    cfg = Config.from_yaml(str(cfg_file))
+    stores = glob.glob(os.path.join(cfg.paths.graphs_dir, "*.b3d"))
+    assert len(stores) == 1
+    meta = json.load(open(stores[0].replace(".b3d", "_metadata.json")))
+    # only the 6 camera-visible matched detections survive
+    assert len(meta) == 6
+    assert all(m["token"] == "inst_0" for m in meta)

@@ -35,14 +35,19 @@ def test_generate_image_annotations(fab_root):
 
 def test_preprocess_lidar(fab_root, tmp_path):
     tables = NuScenesTables(fab_root, "v1.0-mini")
-    out = pp.preprocess_lidar_annotations(tables, str(tmp_path))
+    img_anns = pp.generate_image_annotations(tables)
+    out = pp.preprocess_lidar_annotations(tables, str(tmp_path), img_anns)
     entries = out["all"]
     assert len(entries) == 2
     for e in entries:
-        assert e["num_lidar_pts"] > 10  # box points captured, far points excluded
+        # entries carry the TABLE's official count (the reference's
+        # load-time filter reads it), not the masked multisweep count
+        ann = tables.get("sample_annotation", e["sample_annotation_token"])
+        assert e["num_lidar_pts"] == ann["num_lidar_pts"]
         pc = np.load(tmp_path / f"{e['sample_annotation_token']}.npy")
-        assert pc.shape[0] == 5
-        assert pc.shape[1] == e["num_lidar_pts"]
+        # devkit LidarPointCloud keeps 4 channels (ring dropped)
+        assert pc.shape[0] == 4
+        assert pc.shape[1] > 10  # box points captured, far points excluded
 
 
 def test_preprocess_radar(fab_root, tmp_path):
@@ -60,7 +65,9 @@ def test_preprocess_radar(fab_root, tmp_path):
 def test_encoder_batch_iterators(fab_root, tmp_path):
     tables = NuScenesTables(fab_root, "v1.0-mini")
     img_anns = pp.generate_image_annotations(tables)
-    lidar_meta = pp.preprocess_lidar_annotations(tables, str(tmp_path / "lidar"))
+    lidar_meta = pp.preprocess_lidar_annotations(
+        tables, str(tmp_path / "lidar"), img_anns
+    )
     radar_meta = pp.preprocess_radar_annotations(
         tables, str(tmp_path / "radar"), img_anns
     )

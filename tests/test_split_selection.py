@@ -114,3 +114,22 @@ def test_no_splits_json_falls_back_to_all(fab_split, tmp_path):
     cfg = _cfg_obj(cfg_file)
     toks = [s.scene_token for s in _load_nuscenes_scenes(cfg)]
     assert toks == ["scene0", "scene1", "scene2", "scene3"]
+
+
+def test_trainval_scale_refuses_all_scenes_fallback(fab_split, tmp_path):
+    """Without the devkit or a splits JSON, the 'all' fallback must REFUSE
+    v1.0-trainval/test-scale datasets: silently walking all 850 scenes for
+    a requested 'val' would score ~700 detection-less scenes as pure
+    misses. (The mini/fabricated fallback above stays.)"""
+    import shutil
+
+    from batch3dmot_tpu.data.nuscenes_tables import NuScenesTables
+
+    root, _, _ = fab_split
+    # same tables, claimed as v1.0-trainval
+    tv_root = tmp_path / "nusc_tv"
+    shutil.copytree(root, tv_root)
+    os.rename(tv_root / "v1.0-mini", tv_root / "v1.0-trainval")
+    tables = NuScenesTables(str(tv_root), "v1.0-trainval")
+    with pytest.raises(KeyError, match="refusing the all-scenes fallback"):
+        tables.scene_metas_for_split("val", None)
